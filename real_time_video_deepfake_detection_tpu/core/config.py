@@ -1,0 +1,120 @@
+"""Typed configuration tree for the whole framework.
+
+One dataclass config tree replaces the reference's three ad-hoc mechanisms
+(argparse flags, constructor kwargs, module constants — SURVEY.md §5
+"Config / flag system"). Every tunable the reference exposes is preserved
+with the reference's default value; citations point at the reference source
+of each default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Temporal voting tracker (reference: deepfake_detection.py:99-118).
+
+    The verdict contract (deepfake_detection.py:120-196):
+      - a frame votes FAKE iff fake_probability is STRICTLY > detection_threshold
+      - verdict is UNCERTAIN until `voting_window` votes are collected
+      - then verdict = majority of the last `voting_window` votes, tie -> REAL
+    """
+
+    window_size: int = 60          # score history depth (:99)
+    voting_window: int = 10        # votes before a verdict (:99)
+    detection_threshold: float = 0.5   # strict-> FAKE threshold (:99; server uses 0.55)
+    high_confidence_threshold: float = 0.6  # forensic-trigger threshold (:99)
+    variance_window: int = 30      # variance_history depth (:112)
+    alert_cooldown: float = 5.0    # seconds between forensic triggers (:114)
+
+
+@dataclasses.dataclass(frozen=True)
+class ForensicConfig:
+    """Frame-level forensic analyzer (reference: frame_analysis.py:22-56)."""
+
+    analysis_size: Tuple[int, int] = (256, 256)  # (:28-34)
+    temporal_window: int = 30                    # temporal_diffs deque (:36)
+    # Full-analysis weights (:49-56)
+    w_frequency: float = 0.25
+    w_noise: float = 0.20
+    w_ela: float = 0.20
+    w_edge: float = 0.15
+    w_color: float = 0.10
+    w_temporal: float = 0.10
+    # Fast-analysis weights (:118)
+    fast_w_frequency: float = 0.45
+    fast_w_temporal: float = 0.25
+    fast_w_edge: float = 0.30
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Detection orchestrator (reference: deepfake_detection.py:300-342)."""
+
+    detection_threshold: float = 0.5   # (:733 module default; 0.55 in server :57)
+    face_weight: float = 0.70          # configurable fusion (:734); NOTE: the
+    forensic_weight: float = 0.30      # reference's effective behavior is
+    # face-only when a face is present (deepfake_detection.py:620-623) — that
+    # is the default here for verdict parity; set fuse_forensics=True to get
+    # the documented 70/30 blend (README.md:283-284, never active in ref code).
+    fuse_forensics: bool = False
+    use_tta: bool = False              # (:731 — disabled in prod)
+    num_tta_augmentations: int = 1     # (:732)
+    full_forensic_interval: int = 3    # full analysis every Nth frame (:330)
+    small_face_px: int = 80            # +0.10 heuristic below this size (:494-496)
+    small_face_boost: float = 0.10     # (:496)
+    min_face_px: int = 20              # SSD box size filter (face_detection.py:102)
+    ssd_confidence_threshold: float = 0.5  # (face_detection.py:37)
+    model_input_size: int = 224        # classifier input (:383)
+    mtcnn_image_size: int = 160        # MTCNN crop size (facenet default)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    forensic: ForensicConfig = dataclasses.field(default_factory=ForensicConfig)
+
+    def with_threshold(self, t: float) -> "DetectorConfig":
+        return dataclasses.replace(
+            self,
+            detection_threshold=t,
+            tracker=dataclasses.replace(self.tracker, detection_threshold=t),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """HTTP serving frontend (reference: backend_server.py:57-80, 275)."""
+
+    host: str = "0.0.0.0"
+    port: int = 5000
+    detection_threshold: float = 0.55      # (:57)
+    min_request_interval: float = 0.1      # rate limit, seconds (:63)
+    # Batching frontend (new, TPU-native): collect up to max_batch frames or
+    # wait batch_timeout_ms, then run one device step over the padded batch.
+    max_batch: int = 64
+    batch_timeout_ms: float = 5.0
+    max_streams: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training stack defaults (reference: train.py:1090-1138 CLI defaults)."""
+
+    epochs: int = 30
+    batch_size: int = 32
+    grad_accum: int = 2
+    lr: float = 3e-4
+    backbone_lr_mult: float = 0.1      # differential LR (train.py:891-910)
+    weight_decay: float = 1e-4
+    label_smoothing: float = 0.1       # FocalLoss ls (train.py:360-392)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    ema_decay: float = 0.999           # (train.py:398-436)
+    mixup_alpha: float = 0.2
+    cutmix_alpha: float = 1.0
+    mixup_prob: float = 0.5            # 50% of batches augmented (train.py:546-629)
+    clip_norm: float = 1.0
+    freeze_frac: float = 0.6           # freeze stem + first 60% of blocks (:863-876)
+    early_stop_patience: int = 7
+    image_size: int = 224
+    seed: int = 42

@@ -1,0 +1,31 @@
+"""Test config: run everything on CPU with an 8-device virtual mesh so
+multi-chip sharding tests work without TPU hardware (the JAX analogue of
+"multi-node without a cluster" — SURVEY.md §4)."""
+
+import os
+
+# The environment pre-sets JAX_PLATFORMS=axon (the tunneled TPU) and a plugin
+# re-asserts it programmatically, so the env var alone is not enough — force
+# the CPU backend through jax.config. Every device->host scalar transfer over
+# the axon tunnel costs ~30 ms, which would make these tests minutes-slow.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+import sys
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.is_dir()
