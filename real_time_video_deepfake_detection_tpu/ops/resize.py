@@ -1,0 +1,111 @@
+"""Image resize as jnp ops.
+
+Two variants:
+  - resize_bilinear_u8_cv2: reproduces cv2.resize(..., INTER_LINEAR) on uint8
+    bit-for-bit, including OpenCV's fixed-point two-pass arithmetic
+    (INTER_RESIZE_COEF_BITS=11) and its silent switch to 2x2 area averaging
+    for exact 2x downscales. Needed because every forensic signal runs on
+    `cv2.resize(frame, (256,256))` output (reference frame_analysis.py:71).
+  - resize_bilinear_f32: float half-pixel bilinear, matching
+    torch.nn.functional.interpolate(mode="bilinear", align_corners=False),
+    used on the classifier path (reference deepfake_detection.py:383).
+
+Index/coefficient tables are precomputed with numpy at trace time (shapes are
+static under jit), so the device work is pure gathers + integer FMAs on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_COEF_BITS = 11
+_COEF_SCALE = 1 << _COEF_BITS  # 2048
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_tables(src: int, dst: int):
+    """OpenCV's per-axis sample indices and short coefficients."""
+    scale = src / dst
+    x = np.arange(dst, dtype=np.float64)
+    fx = (x + 0.5) * scale - 0.5
+    sx = np.floor(fx).astype(np.int64)
+    fx = fx - sx
+    fx = np.where(sx < 0, 0.0, fx)
+    sx = np.maximum(sx, 0)
+    fx = np.where(sx >= src - 1, 0.0, fx)
+    sx = np.minimum(sx, src - 1)
+    # saturate_cast<short>(f * 2048) with cvRound (half-to-even)
+    a1 = np.rint(np.float32(fx) * _COEF_SCALE).astype(np.int32)
+    a0 = np.rint((1.0 - np.float32(fx)) * _COEF_SCALE).astype(np.int32)
+    sx1 = np.minimum(sx + 1, src - 1)
+    return sx, sx1, a0, a1
+
+
+def resize_bilinear_u8_cv2(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
+    """cv2.resize(img, (dst_w, dst_h), interpolation=INTER_LINEAR), uint8 HWC
+    (or HW), bit-exact."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    src_h, src_w = img.shape[0], img.shape[1]
+
+    if src_h == dst_h and src_w == dst_w:
+        out = img
+    elif src_h == 2 * dst_h and src_w == 2 * dst_w:
+        # OpenCV rewrites exact-2x INTER_LINEAR downscale to INTER_AREA fast
+        # path: mean of each 2x2 block with +2 rounding (resize.cpp).
+        i32 = img.astype(jnp.int32)
+        s = (i32[0::2, 0::2] + i32[0::2, 1::2] + i32[1::2, 0::2] + i32[1::2, 1::2])
+        out = ((s + 2) >> 2).astype(jnp.uint8)
+    else:
+        sx, sx1, ax0, ax1 = _linear_tables(src_w, dst_w)
+        sy, sy1, ay0, ay1 = _linear_tables(src_h, dst_h)
+        i32 = img.astype(jnp.int32)
+        # Horizontal pass: int32 rows scaled by 2^11.
+        h = i32[:, sx, :] * jnp.asarray(ax0)[None, :, None] + \
+            i32[:, sx1, :] * jnp.asarray(ax1)[None, :, None]
+        # Vertical pass with OpenCV's exact fixed-point cast:
+        # uchar(((b0*(S0>>4))>>16) + ((b1*(S1>>4))>>16) + 2) >> 2
+        s0 = h[sy, :, :] >> 4
+        s1 = h[sy1, :, :] >> 4
+        b0 = jnp.asarray(ay0)[:, None, None]
+        b1 = jnp.asarray(ay1)[:, None, None]
+        out = (((b0 * s0) >> 16) + ((b1 * s1) >> 16) + 2) >> 2
+        out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+    return out[..., 0] if squeeze else out
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_tables_f32(src: int, dst: int):
+    scale = src / dst
+    x = np.arange(dst, dtype=np.float64)
+    fx = (x + 0.5) * scale - 0.5
+    sx = np.floor(fx).astype(np.int64)
+    fx = fx - sx
+    fx = np.where(sx < 0, 0.0, fx)
+    sx = np.maximum(sx, 0)
+    fx = np.where(sx >= src - 1, 0.0, fx)
+    sx = np.minimum(sx, src - 1)
+    sx1 = np.minimum(sx + 1, src - 1)
+    return sx, sx1, (1.0 - fx).astype(np.float32), fx.astype(np.float32)
+
+
+def resize_bilinear_f32(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
+    """Float bilinear with half-pixel centers, edge-clamped — matches
+    torch F.interpolate(mode='bilinear', align_corners=False). Input HWC or
+    CHW-agnostic: operates on the first two axes."""
+    src_h, src_w = img.shape[0], img.shape[1]
+    sx, sx1, ax0, ax1 = _linear_tables_f32(src_w, dst_w)
+    sy, sy1, ay0, ay1 = _linear_tables_f32(src_h, dst_h)
+    x = img.astype(jnp.float32)
+    extra = (1,) * (img.ndim - 2)
+    h = x[:, sx] * jnp.asarray(ax0).reshape(1, -1, *extra) + \
+        x[:, sx1] * jnp.asarray(ax1).reshape(1, -1, *extra)
+    out = h[sy] * jnp.asarray(ay0).reshape(-1, 1, *extra) + \
+          h[sy1] * jnp.asarray(ay1).reshape(-1, 1, *extra)
+    return out
