@@ -1,0 +1,81 @@
+"""End-to-end serving benchmark (driver contract: ONE JSON line).
+
+Measures the batched multi-stream serving core on the available accelerator:
+64 concurrent streams, each tick = host->device transfer of 480p frames +
+on-device resize to 256 + all six forensic signals + EfficientNet-B0 face
+classification + temporal-tracker update + verdict readback.
+
+Metric: aggregate frames/sec/chip (capture->verdict). Baseline: the
+reference's effective ceiling is 10 fps/stream (100 ms rate limiter,
+backend_server.py:63; typical operation 1 fps — BASELINE.md), single stream.
+vs_baseline = our aggregate fps / 10.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_video_deepfake_detection_tpu.core.config import DetectorConfig
+    from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+        EfficientNetSpec, init_params,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.batcher import (
+        device_step, init_stream_states, resize_frames_on_device,
+    )
+
+    n_streams = 64
+    cap_h, cap_w = 480, 640
+    spec = EfficientNetSpec.make("b0")
+    cfg = DetectorConfig().with_threshold(0.55)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    states = init_stream_states(n_streams, cfg)
+
+    rng = np.random.default_rng(0)
+    frames_np = rng.integers(0, 256, (n_streams, cap_h, cap_w, 3), dtype=np.uint8)
+    faces_np = rng.random((n_streams, 160, 160, 3), dtype=np.float32) * 255.0
+    has_face = jnp.ones((n_streams,), bool)
+    face_hw = jnp.full((n_streams, 2), 120, jnp.int32)
+    active = jnp.ones((n_streams,), bool)
+
+    def tick(frames_host, faces_host, states):
+        frames = jnp.asarray(frames_host)          # host->device
+        faces = jnp.asarray(faces_host)
+        small = resize_frames_on_device(frames)
+        out, states = device_step(spec, cfg, params, small, faces,
+                                  has_face, face_hw, active, states)
+        return out, states
+
+    # Warmup / compile
+    out, states = tick(frames_np, faces_np, states)
+    jax.block_until_ready(out["verdict"])
+
+    iters = 30
+    lat = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        t1 = time.perf_counter()
+        out, states = tick(frames_np, faces_np, states)
+        jax.block_until_ready(out["verdict"])
+        lat.append(time.perf_counter() - t1)
+    elapsed = time.perf_counter() - t0
+
+    fps = n_streams * iters / elapsed
+    p95_ms = float(np.percentile(np.array(lat), 95) * 1000)
+
+    print(json.dumps({
+        "metric": "serving_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": f"frames/s aggregate over {n_streams} streams "
+                f"(p95 tick latency {p95_ms:.1f} ms)",
+        "vs_baseline": round(fps / 10.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

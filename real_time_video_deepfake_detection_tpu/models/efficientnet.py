@@ -311,6 +311,37 @@ def forward(params, x, spec: EfficientNetSpec, *, train=False, rng=None,
     return apply_head(params, feats, train=train, rng=r2, dropout=dropout)
 
 
+def update_bn_stats(params, spec: EfficientNetSpec, stats: List[dict]):
+    """Fold the flat batch-stats list from forward_train back into the param
+    tree (same traversal order: stem.bn, per-block [bn0?, bn1, bn2], head.bn,
+    fc.bn1, fc.bn2). Only mean/var are taken; scale/bias stay with the
+    optimizer-updated params."""
+    it = iter(stats)
+
+    def take(bn):
+        new = next(it)
+        return {**bn, "mean": new["mean"], "var": new["var"]}
+
+    out = {
+        "stem": {**params["stem"], "bn": take(params["stem"]["bn"])},
+        "blocks": [],
+        "head": None, "fc": None,
+    }
+    for blk, sb in zip(params["blocks"], spec.blocks):
+        nb = dict(blk)
+        if sb.expand != 1:
+            nb["bn0"] = take(blk["bn0"])
+        nb["bn1"] = take(blk["bn1"])
+        nb["bn2"] = take(blk["bn2"])
+        out["blocks"].append(nb)
+    out["head"] = {**params["head"], "bn": take(params["head"]["bn"])}
+    fc = dict(params["fc"])
+    fc["bn1"] = take(fc["bn1"])
+    fc["bn2"] = take(fc["bn2"])
+    out["fc"] = fc
+    return out
+
+
 def forward_train(params, x, spec: EfficientNetSpec, rng, dropout=0.5):
     """Training forward that also returns updated batch-norm statistics as a
     flat list in traversal order (consumed by train/ to rebuild the tree)."""

@@ -1,0 +1,48 @@
+"""Face-classification device step: preprocessing + EfficientNet + sigmoid.
+
+Reproduces the reference's `_single_prediction` tensor chain
+(deepfake_detection.py:372-398): aligned 160x160 RGB float (raw 0-255)
+-> bilinear resize 224 (half-pixel, matches F.interpolate) -> /255 ->
+ImageNet normalize -> model -> sigmoid. One jitted function, batched over
+faces; bf16 variant for the TPU hot path (MXU) with f32 master weights.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.efficientnet import EfficientNetSpec, forward
+from ..ops.resize import resize_bilinear_f32
+
+_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def preprocess_aligned(face_rgb_raw: jax.Array, size: int = 224) -> jax.Array:
+    """(H, W, 3) float RGB with raw 0-255 values -> (size, size, 3) normalized
+    (deepfake_detection.py:383-389)."""
+    x = resize_bilinear_f32(face_rgb_raw.astype(jnp.float32), size, size)
+    x = x / 255.0
+    return (x - _IMAGENET_MEAN) / _IMAGENET_STD
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def classify_batch(params, faces_rgb_raw: jax.Array, spec: EfficientNetSpec,
+                   size: int = 224) -> jax.Array:
+    """(B, H, W, 3) raw-RGB aligned faces -> (B,) fake probabilities."""
+    x = jax.vmap(lambda f: preprocess_aligned(f, size))(faces_rgb_raw)
+    logits = forward(params, x, spec, train=False)
+    return jax.nn.sigmoid(logits[:, 0])
+
+
+def apply_small_face_heuristic(prob, face_h: int, face_w: int,
+                               small_px: int = 80, boost: float = 0.10):
+    """+0.10 when the detected crop is small, clipped to [0,1]
+    (deepfake_detection.py:489-502). Host-side scalar math by design — it
+    depends on the host-known bbox size."""
+    if face_h < small_px or face_w < small_px:
+        prob = prob + boost
+    return float(min(max(prob, 0.0), 1.0))

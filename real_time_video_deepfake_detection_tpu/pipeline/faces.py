@@ -1,0 +1,91 @@
+"""Face detection frontend with the reference's detector ladder.
+
+Reference behavior (face_detection.py:37-123): OpenCV-DNN SSD (ResNet-10,
+300x300) when its caffemodel weights exist, else Haar cascade; exceptions
+fall through to Haar, then to an empty list. Here:
+
+  - primary: SSD-Res10 re-implemented in JAX (models/ssd_res10.py) with a
+    caffemodel weight converter — batched, jitted, runs on TPU
+  - fallback: Haar cascade on host via cv2 (branchy integral-image cascade;
+    deliberately left on CPU — see SURVEY.md §7 "hard parts")
+
+Same contract as the reference: list of (x, y, w, h) int tuples.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+Box = Tuple[int, int, int, int]
+
+_haar = None
+
+
+def _get_haar():
+    global _haar
+    if _haar is None:
+        import cv2
+        _haar = cv2.CascadeClassifier(
+            cv2.data.haarcascades + "haarcascade_frontalface_default.xml")
+    return _haar
+
+
+def detect_haar(frame_bgr: np.ndarray) -> List[Box]:
+    """Haar fallback with the reference's parameters
+    (face_detection.py:108-123)."""
+    import cv2
+    if frame_bgr.ndim == 3:
+        gray = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2GRAY)
+    else:
+        gray = frame_bgr
+    faces = _get_haar().detectMultiScale(
+        gray, scaleFactor=1.1, minNeighbors=5, minSize=(30, 30),
+        flags=cv2.CASCADE_SCALE_IMAGE)
+    return [(int(x), int(y), int(w), int(h)) for (x, y, w, h) in faces]
+
+
+class FaceDetector:
+    """Pluggable detector matching `detect_bounding_box` semantics
+    (face_detection.py:37-68): guards tiny/invalid frames, primary detector
+    with Haar fallback on exception."""
+
+    def __init__(self, ssd_weights_path: Optional[str] = None,
+                 confidence_threshold: float = 0.5, min_face_px: int = 20):
+        self.confidence_threshold = confidence_threshold
+        self.min_face_px = min_face_px
+        self._ssd = None
+        if ssd_weights_path and os.path.exists(ssd_weights_path):
+            from ..models.ssd_res10 import SSDRes10
+            self._ssd = SSDRes10.from_caffemodel(ssd_weights_path)
+
+    @property
+    def backend(self) -> str:
+        return "ssd" if self._ssd is not None else "haar"
+
+    def __call__(self, frame_bgr: np.ndarray) -> List[Box]:
+        try:
+            if frame_bgr is None or frame_bgr.size == 0:
+                return []
+            if frame_bgr.ndim < 2 or frame_bgr.shape[0] < 30 or frame_bgr.shape[1] < 30:
+                return []
+            if self._ssd is not None:
+                return self._ssd.detect(
+                    frame_bgr, self.confidence_threshold, self.min_face_px)
+            return detect_haar(frame_bgr)
+        except Exception:
+            try:
+                return detect_haar(frame_bgr)
+            except Exception:
+                return []
+
+
+def extract_face_region(frame: np.ndarray, box: Box, padding: int = 0) -> np.ndarray:
+    """(face_detection.py:145-168)."""
+    x, y, w, h = box
+    x0, y0 = max(0, x - padding), max(0, y - padding)
+    x1 = min(frame.shape[1], x + w + padding)
+    y1 = min(frame.shape[0], y + h + padding)
+    return frame[y0:y1, x0:x1]

@@ -1,0 +1,131 @@
+"""Batched multi-stream device step — the TPU serving core.
+
+The reference serves ONE stream with global mutable state
+(backend_server.py:57-80). Here N concurrent streams multiplex into a single
+jitted TPU program per tick (BASELINE config 4):
+
+  frames (N,H,W,3 u8) -> resize 256 -> six forensic signals  \
+  faces  (N,160,160,3 f32) -> classify (EfficientNet, MXU)    } one XLA program
+  vote = face prob if face else forensic prob                /
+  tracker ring-buffer update + verdict (pure reducers)
+
+Padded slots are masked with `active=False` — their tracker/forensic state
+update is a no-op, preserving per-stream semantics exactly (verified against
+the single-stream path in tests). Host work per tick is only JPEG decode and
+face-box extraction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DetectorConfig
+from ..models.efficientnet import EfficientNetSpec
+from ..ops import forensics
+from ..ops.resize import resize_bilinear_u8_cv2
+from ..pipeline.classify import preprocess_aligned
+from ..models.efficientnet import forward
+from ..state.forensic_state import ForensicState, forensic_state_init_batch
+from ..state.tracker import TrackerState, tracker_init_batch, tracker_update, \
+    tracker_verdict, tracker_temporal_average, tracker_stability
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StreamStates:
+    forensic: ForensicState   # batched (leading stream axis)
+    tracker: TrackerState     # batched
+    frame_count: jax.Array    # i32[N] server-semantics per-stream frame count
+
+
+def init_stream_states(n_streams: int, cfg: DetectorConfig = DetectorConfig()) -> StreamStates:
+    return StreamStates(
+        forensic=forensic_state_init_batch(n_streams, cfg.forensic),
+        tracker=tracker_init_batch(n_streams, cfg.tracker),
+        frame_count=jnp.zeros((n_streams,), jnp.int32),
+    )
+
+
+def reset_streams(states: StreamStates, mask: jax.Array) -> StreamStates:
+    """Reset the streams selected by mask (per-stream /reset)."""
+    zero = jax.tree.map(jnp.zeros_like, states)
+
+    def sel(z, s):
+        m = mask.reshape((-1,) + (1,) * (s.ndim - 1))
+        return jnp.where(m, z, s)
+
+    return jax.tree.map(sel, zero, states)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def device_step(spec: EfficientNetSpec, cfg: DetectorConfig, params,
+                frames_u8: jax.Array, faces_raw: jax.Array,
+                has_face: jax.Array, face_hw: jax.Array,
+                active: jax.Array, states: StreamStates):
+    """One tick over all streams.
+
+    frames_u8: (N,256,256,3) u8 — analysis-size frames (resized on host or
+        by resize_frames_on_device for fixed capture sizes)
+    faces_raw: (N,160,160,3) f32 — aligned face crops, raw RGB 0-255
+        (zeros for streams without faces)
+    has_face:  bool[N]; face_hw: i32[N,2] original crop size (heuristic)
+    active:    bool[N] — padded-slot mask
+    """
+    n = frames_u8.shape[0]
+
+    # Server off-by-one semantics: forensics scheduled on the PRE-increment
+    # count (backend_server.py:148-156).
+    full = jnp.mod(states.frame_count, cfg.full_forensic_interval) == 0
+
+    fres, new_forensic = forensics.analyze_frame_batch(
+        frames_u8, states.forensic, full, cfg.forensic)
+    # inactive slots keep their old forensic state
+    new_forensic = jax.tree.map(
+        lambda new, old: jnp.where(
+            active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+        new_forensic, states.forensic)
+    forensic_prob = fres["fake_probability"]
+
+    x = jax.vmap(lambda f: preprocess_aligned(f, cfg.model_input_size))(faces_raw)
+    logits = forward(params, x, spec, train=False)
+    face_prob = jax.nn.sigmoid(logits[:, 0])
+    small = (face_hw[:, 0] < cfg.small_face_px) | (face_hw[:, 1] < cfg.small_face_px)
+    face_prob = jnp.clip(
+        face_prob + jnp.where(small, cfg.small_face_boost, 0.0), 0.0, 1.0)
+
+    if cfg.fuse_forensics:
+        fused = cfg.face_weight * face_prob + cfg.forensic_weight * forensic_prob
+    else:
+        fused = face_prob   # reference default (deepfake_detection.py:620-623)
+    vote_prob = jnp.where(has_face, fused, forensic_prob)
+
+    new_tracker = jax.vmap(tracker_update, in_axes=(0, 0, 0, None))(
+        states.tracker, vote_prob, active, cfg.detection_threshold)
+    verdict = jax.vmap(tracker_verdict)(new_tracker)
+    temporal_avg = jax.vmap(tracker_temporal_average)(new_tracker)
+    stability = jax.vmap(tracker_stability)(new_tracker)
+
+    new_counts = states.frame_count + active.astype(jnp.int32)
+
+    out = {
+        "fake_probability": jnp.where(has_face, face_prob, forensic_prob),
+        "face_probability": face_prob,
+        "frame_forensic_probability": forensic_prob,
+        "verdict": verdict,
+        "temporal_average": temporal_avg,
+        "stability_score": stability,
+        "frame_count": new_counts,
+        "full_forensic": full,
+    }
+    return out, StreamStates(new_forensic, new_tracker, new_counts)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def resize_frames_on_device(frames_u8: jax.Array, h: int = 256, w: int = 256):
+    """(N,H,W,3) u8 -> (N,256,256,3) u8, cv2-parity resize, on device."""
+    return jax.vmap(lambda f: resize_bilinear_u8_cv2(f, h, w))(frames_u8)

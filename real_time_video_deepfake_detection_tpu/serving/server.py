@@ -1,0 +1,234 @@
+"""HTTP serving frontend — the reference's API surface, bit-for-bit.
+
+Routes and JSON schemas preserved exactly from backend_server.py:82-255 so
+the reference Chrome extension works unchanged:
+
+  GET  /health  -> status/model_loaded/device/gpu_name/frame_count/capabilities
+  POST /reset   -> {success, message}
+  POST /analyze -> face / frame_only result schema (+400/429/500 errors)
+  GET  /stats   -> frame_count/temporal_average/stability_score/...
+
+Rate limiting: global >=100 ms between /analyze requests -> 429 with
+retry_after_ms (backend_server.py:61-80).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..core.config import DetectorConfig, ServerConfig
+from ..pipeline.detector import DeepfakeDetector
+from .wsgi import App, Request, Response, jsonify
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s [%(levelname)s] %(message)s",
+                    datefmt="%H:%M:%S")
+logger = logging.getLogger(__name__)
+
+
+def _decode_frame(data: bytes) -> Optional[np.ndarray]:
+    """JPEG/PNG/BMP bytes -> BGR u8, host-side ingest decode (entropy
+    decoding is inherently serial; the batch feeds the TPU afterwards —
+    reference: backend_server.py:140-142)."""
+    import cv2
+    arr = np.frombuffer(data, np.uint8)
+    if arr.size == 0:
+        return None
+    return cv2.imdecode(arr, cv2.IMREAD_COLOR)
+
+
+def _device_strings():
+    import jax
+    try:
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", dev.platform)
+        if dev.platform in ("tpu", "axon"):
+            return f"tpu:{dev.id}", str(kind)
+        return f"{dev.platform}:{dev.id}", None
+    except Exception:
+        return "cpu", None
+
+
+def create_app(detector: Optional[DeepfakeDetector] = None,
+               server_cfg: ServerConfig = ServerConfig()) -> App:
+    app = App()
+    if detector is None:
+        detector = DeepfakeDetector(
+            DetectorConfig().with_threshold(server_cfg.detection_threshold))
+    app.detector = detector  # exposed for tests
+
+    rate_lock = threading.Lock()
+    state = {"last_request_time": 0.0}
+    device_str, accel_name = _device_strings()
+
+    @app.route("/health", methods=["GET"])
+    def health(_req: Request) -> Response:
+        return jsonify({
+            "status": "healthy",
+            "model_loaded": detector.model_loaded or detector.params is not None,
+            "device": device_str,
+            "gpu_name": accel_name,
+            "frame_count": detector.frame_count,
+            "capabilities": {
+                "face_detection": True,
+                "frame_forensics": True,
+                "temporal_tracking": True,
+            },
+        })
+
+    @app.route("/reset", methods=["POST"])
+    def reset(_req: Request) -> Response:
+        try:
+            detector.reset()
+            return jsonify({"success": True,
+                            "message": "Detector reset successfully"})
+        except Exception as e:
+            logger.error(f"Reset failed: {e}")
+            return jsonify({"success": False, "error": str(e)}, 500)
+
+    @app.route("/analyze", methods=["POST"])
+    def analyze(req: Request) -> Response:
+        # Rate limit (backend_server.py:66-80)
+        with rate_lock:
+            now = time.time()
+            elapsed = now - state["last_request_time"]
+            if elapsed < server_cfg.min_request_interval:
+                return jsonify({
+                    "error": "Rate limited",
+                    "retry_after_ms": int(
+                        (server_cfg.min_request_interval - elapsed) * 1000),
+                }, 429)
+            state["last_request_time"] = now
+
+        start_time = time.time()
+        try:
+            if "frame" not in req.files:
+                return jsonify({"error": "No frame provided"}, 400)
+            frame = _decode_frame(req.files["frame"])
+            if frame is None:
+                return jsonify({"error": "Invalid image format"}, 400)
+
+            # Server-path semantics: forensics FIRST, then faces, then the
+            # frame-count increment (backend_server.py:147-156).
+            frame_forensic = detector.analyze_frame_forensics(frame)
+            frame_forensic_prob = frame_forensic["fake_probability"]
+
+            faces = detector.face_detector(frame)
+            detector.frame_count += 1
+
+            if len(faces) > 0:
+                x, y, w, h = faces[0]
+                face_region = frame[y:y + h, x:x + w]
+                fake_prob, _, _ = detector.analyze_face(face_region)
+                if fake_prob is not None:
+                    detector.temporal_tracker.update(fake_prob)
+                    confidence_level = detector.temporal_tracker.get_confidence_level()
+                    temporal_avg = detector.temporal_tracker.get_temporal_average()
+                    stability = detector.temporal_tracker.get_stability_score()
+                    processing_time = (time.time() - start_time) * 1000
+                    logger.info(
+                        f"Frame {detector.frame_count} | Face: {fake_prob*100:.0f}% | "
+                        f"Forensic: {frame_forensic_prob*100:.0f}% | "
+                        f"Verdict: {confidence_level} | {processing_time:.0f}ms")
+                    return jsonify({
+                        "success": True,
+                        "analysis_mode": "face+frame",
+                        "faces_detected": len(faces),
+                        "fake_probability": float(fake_prob),
+                        "face_probability": float(fake_prob),
+                        "frame_forensic_probability": float(frame_forensic_prob),
+                        "real_probability": float(1 - fake_prob),
+                        "confidence_level": confidence_level,
+                        "temporal_average": float(temporal_avg),
+                        "stability_score": float(stability),
+                        "frame_count": detector.frame_count,
+                        "processing_time_ms": round(processing_time, 1),
+                        "face_bbox": {"x": int(x), "y": int(y),
+                                      "width": int(w), "height": int(h)},
+                    })
+
+            detector.temporal_tracker.update(frame_forensic_prob)
+            confidence_level = detector.temporal_tracker.get_confidence_level()
+            temporal_avg = detector.temporal_tracker.get_temporal_average()
+            stability = detector.temporal_tracker.get_stability_score()
+            processing_time = (time.time() - start_time) * 1000
+            logger.info(
+                f"Frame {detector.frame_count} [NO FACE] | "
+                f"Forensic: {frame_forensic_prob*100:.0f}% | "
+                f"Verdict: {confidence_level} | {processing_time:.0f}ms")
+            return jsonify({
+                "success": True,
+                "analysis_mode": "frame_only",
+                "faces_detected": len(faces),
+                "fake_probability": float(frame_forensic_prob),
+                "frame_forensic_probability": float(frame_forensic_prob),
+                "real_probability": float(1 - frame_forensic_prob),
+                "confidence_level": confidence_level,
+                "temporal_average": float(temporal_avg),
+                "stability_score": float(stability),
+                "frame_count": detector.frame_count,
+                "processing_time_ms": round(processing_time, 1),
+            })
+        except Exception as e:
+            logger.exception("Error analyzing frame")
+            return jsonify({"error": str(e)}, 500)
+
+    @app.route("/stats", methods=["GET"])
+    def stats(_req: Request) -> Response:
+        try:
+            voting = detector.temporal_tracker.get_voting_stats()
+            return jsonify({
+                "frame_count": detector.frame_count,
+                "temporal_average": float(detector.temporal_tracker.get_temporal_average()),
+                "stability_score": float(detector.temporal_tracker.get_stability_score()),
+                "confidence_level": detector.temporal_tracker.get_confidence_level(),
+                "history_length": detector.temporal_tracker.history_length,
+                "voting": voting,
+                "device": device_str,
+            })
+        except Exception as e:
+            return jsonify({"error": str(e)}, 500)
+
+    return app
+
+
+def serve(host: str = "0.0.0.0", port: int = 5000,
+          detector: Optional[DeepfakeDetector] = None,
+          server_cfg: Optional[ServerConfig] = None) -> None:
+    """Threaded WSGI server (stdlib) — reference runs Flask threaded on
+    0.0.0.0:5000 (backend_server.py:275)."""
+    from socketserver import ThreadingMixIn
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    cfg = server_cfg or ServerConfig(host=host, port=port)
+    app = create_app(detector, cfg)
+
+    class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    httpd = make_server(host, port, app, server_class=ThreadingWSGIServer)
+    logger.info(f"Deepfake Detection Backend Server on http://{host}:{port}")
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native deepfake detection server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--weights", default=None, help="path to best_model.pth or orbax dir")
+    p.add_argument("--threshold", type=float, default=0.55)
+    args = p.parse_args(argv)
+    det = DeepfakeDetector(
+        DetectorConfig().with_threshold(args.threshold),
+        weights_path=args.weights)
+    serve(args.host, args.port, det)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Jittable training/eval steps with SPMD sharding.
+
+The reference trains single-GPU with AMP + grad accumulation + clip +
+OneCycle + EMA (train.py:546-629, 891-927). Here the step is a pure function
+jitted over a ("data",) mesh: batch sharded on the data axis, params
+replicated; XLA inserts the gradient all-reduce over ICI. bf16 compute on
+TPU replaces AMP loss scaling (bf16 has fp32-range exponent — no scaler
+needed, SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import TrainConfig
+from ..models.efficientnet import (
+    EfficientNetSpec, forward_train, forward, update_bn_stats,
+)
+from .losses import focal_loss_with_smoothing
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+def _is_bn_stat(path) -> bool:
+    return any(getattr(p, "key", None) in ("mean", "var") for p in path)
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
+    """AdamW + clip + onecycle + differential backbone LR (train.py:891-927).
+
+    BN running stats are masked out of the optimizer entirely (they update
+    through the forward pass).
+    """
+    sched = optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 1), peak_value=cfg.lr,
+        pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
+
+    def lr_mask(params):
+        # head (fc.*) full LR; backbone 0.1x (reference backbone_lr_mult)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "head" if (getattr(path[0], "key", None) == "fc")
+            else "backbone", params)
+
+    tx = optax.multi_transform(
+        {"head": optax.adamw(sched, weight_decay=cfg.weight_decay),
+         "backbone": optax.adamw(
+             lambda i: sched(i) * cfg.backbone_lr_mult,
+             weight_decay=cfg.weight_decay)},
+        lr_mask)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
+
+    def stat_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not _is_bn_stat(path), params)
+
+    return optax.masked(tx, stat_mask)
+
+
+def init_train_state(params, cfg: TrainConfig, total_steps: int,
+                     seed: int = 0) -> TrainState:
+    tx = make_optimizer(cfg, total_steps)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        # distinct buffers: params and ema may be donated together
+        ema_params=jax.tree.map(jnp.copy, params),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
+               spec: EfficientNetSpec, cfg: TrainConfig,
+               tx: optax.GradientTransformation):
+    """One SPMD step: images (B,H,W,3) f32 normalized NHWC, labels (B,).
+    Returns (new_state, metrics)."""
+    rng, step_rng = jax.random.split(state.rng)
+
+    def loss_fn(params):
+        logits, bn_stats = forward_train(params, images, spec, step_rng)
+        loss = focal_loss_with_smoothing(
+            logits[:, 0], labels, cfg.focal_gamma, cfg.focal_alpha,
+            cfg.label_smoothing)
+        return loss, (logits, bn_stats)
+
+    (loss, (logits, bn_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_params = update_bn_stats(new_params, spec, bn_stats)
+
+    d = cfg.ema_decay
+    new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                           state.ema_params, new_params)
+
+    preds = (jax.nn.sigmoid(logits[:, 0]) > 0.5).astype(jnp.float32)
+    acc = jnp.mean(preds == labels.astype(jnp.float32))
+    metrics = {"loss": loss, "accuracy": acc,
+               "grad_norm": optax.global_norm(grads)}
+    return TrainState(new_params, new_opt, new_ema, state.step + 1, rng), metrics
+
+
+def eval_step(params, images: jax.Array, spec: EfficientNetSpec):
+    logits = forward(params, images, spec, train=False)
+    return jax.nn.sigmoid(logits[:, 0])
+
+
+def make_sharded_train_step(mesh, spec: EfficientNetSpec, cfg: TrainConfig,
+                            tx: optax.GradientTransformation):
+    """jit the step over the mesh: batch on the data axis, state replicated.
+    XLA turns the batch-sharded gradient reduction into an ICI all-reduce."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    return jax.jit(
+        partial(train_step, spec=spec, cfg=cfg, tx=tx),
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,165 @@
+"""HTTP API contract tests (reference tests/test_functional.py:356-424 and
+tests/test_reliability.py patterns, via the in-process test client)."""
+
+import io
+import time
+
+import numpy as np
+import pytest
+import cv2
+
+from real_time_video_deepfake_detection_tpu.core.config import (
+    DetectorConfig, ServerConfig,
+)
+from real_time_video_deepfake_detection_tpu.pipeline.detector import DeepfakeDetector
+from real_time_video_deepfake_detection_tpu.serving.server import create_app
+
+rng = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def app():
+    det = DeepfakeDetector(DetectorConfig().with_threshold(0.55))
+    return create_app(det)
+
+
+@pytest.fixture()
+def client(app):
+    app.detector.reset()
+    time.sleep(0.11)  # clear the rate-limit window between tests
+    return app.test_client()
+
+
+def generate_face_frame(w=640, h=480):
+    """Synthetic frame with a face-like ellipse (reference
+    tests/test_functional.py:24-34)."""
+    frame = np.full((h, w, 3), 128, np.uint8)
+    cv2.ellipse(frame, (w // 2, h // 2), (80, 110), 0, 0, 360,
+                (190, 210, 230), -1)
+    cv2.circle(frame, (w // 2 - 30, h // 2 - 30), 10, (40, 40, 40), -1)
+    cv2.circle(frame, (w // 2 + 30, h // 2 - 30), 10, (40, 40, 40), -1)
+    cv2.ellipse(frame, (w // 2, h // 2 + 40), (25, 12), 0, 0, 180, (60, 70, 90), 3)
+    return frame
+
+
+def _jpeg(frame):
+    ok, enc = cv2.imencode(".jpg", frame)
+    assert ok
+    return io.BytesIO(enc.tobytes())
+
+
+def test_health_schema(client):
+    r = client.get("/health")
+    assert r.status_code == 200
+    j = r.get_json()
+    assert j["status"] == "healthy"
+    for k in ["model_loaded", "device", "gpu_name", "frame_count", "capabilities"]:
+        assert k in j
+    assert j["capabilities"] == {"face_detection": True,
+                                 "frame_forensics": True,
+                                 "temporal_tracking": True}
+
+
+def test_analyze_frame_only_schema(client):
+    frame = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    r = client.post("/analyze", data={"frame": (_jpeg(frame), "f.jpg")})
+    assert r.status_code == 200
+    j = r.get_json()
+    assert j["success"] is True
+    assert j["analysis_mode"] == "frame_only"
+    for k in ["faces_detected", "fake_probability", "frame_forensic_probability",
+              "real_probability", "confidence_level", "temporal_average",
+              "stability_score", "frame_count", "processing_time_ms"]:
+        assert k in j, k
+    assert 0.0 <= j["fake_probability"] <= 1.0
+    assert abs(j["real_probability"] - (1 - j["fake_probability"])) < 1e-6
+    assert j["confidence_level"] == "UNCERTAIN"  # first frame
+    assert j["frame_count"] == 1
+
+
+def test_analyze_face_schema_when_face_found(client):
+    frame = generate_face_frame()
+    r = client.post("/analyze", data={"frame": (_jpeg(frame), "f.jpg")})
+    assert r.status_code == 200
+    j = r.get_json()
+    if j["analysis_mode"] == "face+frame":   # Haar may or may not fire on synthetic
+        assert "face_probability" in j
+        bbox = j["face_bbox"]
+        assert set(bbox.keys()) == {"x", "y", "width", "height"}
+        assert j["faces_detected"] >= 1
+
+
+def test_error_no_frame(client):
+    r = client.post("/analyze", data={})
+    assert r.status_code == 400
+    assert r.get_json() == {"error": "No frame provided"}
+
+
+def test_error_bad_image(client):
+    r = client.post("/analyze", data={"frame": (io.BytesIO(b"not an image"), "f.jpg")})
+    assert r.status_code == 400
+    assert r.get_json() == {"error": "Invalid image format"}
+
+
+def test_rate_limit_429():
+    # Dedicated app with a long window so the second request deterministically
+    # trips the limiter regardless of processing time.
+    det = DeepfakeDetector(DetectorConfig().with_threshold(0.55))
+    app2 = create_app(det, ServerConfig(min_request_interval=10.0))
+    c = app2.test_client()
+    frame = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    r0 = c.post("/analyze", data={"frame": (_jpeg(frame), "f.jpg")})
+    assert r0.status_code == 200
+    r = c.post("/analyze", data={"frame": (_jpeg(frame), "f.jpg")})
+    assert r.status_code == 429
+    j = r.get_json()
+    assert j["error"] == "Rate limited"
+    assert 0 <= j["retry_after_ms"] <= 10000
+
+
+def test_rate_limit_spaced_requests_pass(client):
+    frame = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    for _ in range(3):
+        r = client.post("/analyze", data={"frame": (_jpeg(frame), "f.jpg")})
+        assert r.status_code == 200
+        time.sleep(0.11)
+
+
+def test_reset_and_stats(client):
+    frame = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    for _ in range(3):
+        client.post("/analyze", data={"frame": (_jpeg(frame), "f.jpg")})
+        time.sleep(0.11)
+    r = client.get("/stats")
+    j = r.get_json()
+    assert j["frame_count"] == 3
+    assert j["voting"]["total_frames"] == 3
+    r = client.post("/reset")
+    assert r.get_json() == {"success": True, "message": "Detector reset successfully"}
+    j = client.get("/stats").get_json()
+    assert j["frame_count"] == 0
+    assert j["history_length"] == 0
+    assert j["confidence_level"] == "UNCERTAIN"
+
+
+def test_png_and_bmp_accepted(client):
+    frame = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    for ext in [".png", ".bmp"]:
+        ok, enc = cv2.imencode(ext, frame)
+        r = client.post("/analyze",
+                        data={"frame": (io.BytesIO(enc.tobytes()), "f" + ext)})
+        assert r.status_code == 200, ext
+        time.sleep(0.11)
+
+
+def test_resolution_sweep(client):
+    for (h, w) in [(120, 160), (240, 320), (480, 640), (720, 1280), (1080, 1920)]:
+        frame = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        r = client.post("/analyze", data={"frame": (_jpeg(frame), "f.jpg")})
+        assert r.status_code == 200, (h, w)
+        time.sleep(0.11)
+
+
+def test_unknown_route_and_method(client):
+    assert client.get("/nope").status_code == 404
+    assert client.get("/analyze").status_code == 405
