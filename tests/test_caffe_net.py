@@ -212,6 +212,7 @@ def test_detection_output_vs_numpy_oracle(net_files):
         if all(iou(boxes[i], boxes[np.array(keep)]).max() <= 0.45 for _ in [0]) \
                 if keep else True:
             keep.append(i)
+    keep = sorted(keep, key=lambda i: -scores[i])[:50]   # keep_top_k
     oracle = [(round(float(scores[i]), 5), np.round(boxes[i], 5).tolist())
               for i in keep if scores[i] > 0.3]
 
