@@ -204,7 +204,8 @@ def test_detection_output_vs_numpy_oracle(net_files):
         u = aa + ab - inter
         return np.where(u > 0, inter / u, 0)
 
-    order = np.argsort(-scores)[:100]   # nms_param top_k pre-NMS cap
+    # stable sort: tie order must match lax.top_k's lowest-index-first
+    order = np.argsort(-scores, kind="stable")[:100]   # nms top_k pre-cap
     keep = []
     for i in order:
         if scores[i] < 0.01:
@@ -212,11 +213,11 @@ def test_detection_output_vs_numpy_oracle(net_files):
         if all(iou(boxes[i], boxes[np.array(keep)]).max() <= 0.45 for _ in [0]) \
                 if keep else True:
             keep.append(i)
-    keep = sorted(keep, key=lambda i: -scores[i])[:50]   # keep_top_k
-    oracle = [(round(float(scores[i]), 5), np.round(boxes[i], 5).tolist())
+    keep = sorted(keep, key=lambda i: (-scores[i], i))[:50]   # keep_top_k
+    oracle = [(round(float(scores[i]), 4), np.round(boxes[i], 4).tolist())
               for i in keep if scores[i] > 0.3]
 
     det = np.asarray(blobs["detection_out"])[0, 0]
-    got = [(round(float(r[2]), 5), np.round(r[3:], 5).tolist())
+    got = [(round(float(r[2]), 4), np.round(r[3:], 4).tolist())
            for r in det if r[2] > 0.3]
     assert sorted(got) == sorted(oracle)
