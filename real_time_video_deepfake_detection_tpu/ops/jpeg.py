@@ -281,19 +281,33 @@ def _from_blocks(blocks: jax.Array, h: int, w: int) -> jax.Array:
     return blocks.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
 
 
-def _roundtrip_plane(plane: jax.Array, qtab: np.ndarray) -> jax.Array:
-    """plane (int32, JSAMPLE range) -> DCT-quantize-IDCT -> int32 samples."""
+def _roundtrip_plane(plane: jax.Array, qtab) -> jax.Array:
+    """plane (int32, JSAMPLE range) -> DCT-quantize-IDCT -> int32 samples.
+    `qtab` may be a static numpy table or a traced (8,8) int32 array (the
+    device-side JPEG augmentation passes per-sample tables)."""
     h, w = plane.shape
     blocks = _to_blocks(plane.astype(jnp.int32) - 128)
     dct = fdct_islow(blocks)
-    q = jnp.asarray(qtab)[None] << 3    # divisors are qval*8 (jcdctmgr.c)
+    qt = jnp.asarray(qtab)
+    q = qt[None] << 3    # divisors are qval*8 (jcdctmgr.c)
     # quantize: round-half-away division
     a = jnp.abs(dct)
     quant = jnp.sign(dct) * ((a + (q >> 1)) // q)
-    deq = quant * jnp.asarray(qtab)[None]
+    deq = quant * qt[None]
     spatial = idct_islow(deq) + 128
     spatial = jnp.clip(spatial, 0, 255)
     return _from_blocks(spatial, h, w)
+
+
+def jpeg_roundtrip_bgr_tables(bgr: jax.Array, qlum, qchr) -> jax.Array:
+    """JPEG round-trip with explicit (8,8) quant tables (static or traced)."""
+    y, cb, cr = bgr_to_ycbcr_jpeg(bgr)
+    y2 = _roundtrip_plane(y, qlum)
+    cb2 = _roundtrip_plane(h2v2_downsample(cb), qchr)
+    cr2 = _roundtrip_plane(h2v2_downsample(cr), qchr)
+    cb_up = h2v2_fancy_upsample(cb2)
+    cr_up = h2v2_fancy_upsample(cr2)
+    return ycbcr_to_bgr_jpeg(y2, cb_up, cr_up)
 
 
 def jpeg_roundtrip_bgr(bgr: jax.Array, quality: int = 90) -> jax.Array:
@@ -301,14 +315,13 @@ def jpeg_roundtrip_bgr(bgr: jax.Array, quality: int = 90) -> jax.Array:
     baseline, libjpeg defaults) — equivalent to
     cv2.imdecode(cv2.imencode('.jpg', img, [IMWRITE_JPEG_QUALITY, q])[1]).
     H and W must be divisible by 16."""
-    y, cb, cr = bgr_to_ycbcr_jpeg(bgr)
-    qlum = quant_table(quality, chroma=False)
-    qchr = quant_table(quality, chroma=True)
+    return jpeg_roundtrip_bgr_tables(
+        bgr, quant_table(quality, chroma=False), quant_table(quality, chroma=True))
 
-    y2 = _roundtrip_plane(y, qlum)
-    cb2 = _roundtrip_plane(h2v2_downsample(cb), qchr)
-    cr2 = _roundtrip_plane(h2v2_downsample(cr), qchr)
 
-    cb_up = h2v2_fancy_upsample(cb2)
-    cr_up = h2v2_fancy_upsample(cr2)
-    return ycbcr_to_bgr_jpeg(y2, cb_up, cr_up)
+def quality_table_stack(q_lo: int, q_hi: int):
+    """(Nq, 8, 8) luma and chroma tables for qualities q_lo..q_hi inclusive —
+    indexable on device for per-sample JPEG augmentation."""
+    lum = np.stack([quant_table(q, False) for q in range(q_lo, q_hi + 1)])
+    chr_ = np.stack([quant_table(q, True) for q in range(q_lo, q_hi + 1)])
+    return lum, chr_

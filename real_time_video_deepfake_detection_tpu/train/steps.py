@@ -120,6 +120,48 @@ def eval_step(params, images: jax.Array, spec: EfficientNetSpec):
     return jax.nn.sigmoid(logits[:, 0])
 
 
+def fused_train_step(state: TrainState, imgs_u8: jax.Array, labels: jax.Array,
+                     spec: EfficientNetSpec, cfg: TrainConfig,
+                     tx: optax.GradientTransformation):
+    """The full TPU step: device-side augmentation + mixup/cutmix + forward +
+    focal loss + update. Input is the raw (B, size+20, size+20, 3) RGB u8
+    batch straight from the decoder — the host does no augmentation at all.
+
+    Grad accumulation note: the reference accumulates 2 micro-batches on GPU
+    (train.py:596-605) purely to fit memory; on TPU the full effective batch
+    fits, so one step == one optimizer update with the same effective batch.
+    """
+    from .augment import augment_batch, mixup_cutmix
+
+    rng, k_aug, k_mix, k_drop = jax.random.split(state.rng, 4)
+    x = augment_batch(k_aug, imgs_u8, cfg.image_size)
+    x, y_a, y_b, lam = mixup_cutmix(k_mix, x, labels,
+                                    cfg.mixup_alpha, cfg.cutmix_alpha)
+
+    def loss_fn(params):
+        logits, bn_stats = forward_train(params, x, spec, k_drop)
+        l = logits[:, 0]
+        loss_a = focal_loss_with_smoothing(
+            l, y_a, cfg.focal_gamma, cfg.focal_alpha, cfg.label_smoothing)
+        loss_b = focal_loss_with_smoothing(
+            l, y_b, cfg.focal_gamma, cfg.focal_alpha, cfg.label_smoothing)
+        return lam * loss_a + (1 - lam) * loss_b, (l, bn_stats)
+
+    (loss, (logits, bn_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_params = update_bn_stats(new_params, spec, bn_stats)
+    d = cfg.ema_decay
+    new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                           state.ema_params, new_params)
+    preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+    acc = jnp.mean(preds == labels.astype(jnp.float32))
+    metrics = {"loss": loss, "accuracy": acc,
+               "grad_norm": optax.global_norm(grads)}
+    return TrainState(new_params, new_opt, new_ema, state.step + 1, rng), metrics
+
+
 def make_sharded_train_step(mesh, spec: EfficientNetSpec, cfg: TrainConfig,
                             tx: optax.GradientTransformation):
     """jit the step over the mesh: batch on the data axis, state replicated.

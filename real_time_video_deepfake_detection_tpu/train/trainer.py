@@ -1,0 +1,237 @@
+"""Training driver: epoch loop, validation, checkpoints, CLI.
+
+Reference parity (train.py:770-1138): balanced sampler, fused
+augment+mixup+focal step, EMA-weighted validation, best-model selection on
+F1, JSON epoch log, atomic per-epoch resume checkpoints incl. RNG state,
+graceful SIGINT (first = finish epoch and save; second = abort), early
+stopping, resume-by-rerunning-the-same-command.
+
+TPU-first differences: augmentation/mixup run inside the jitted step (see
+train/steps.py:fused_train_step), bf16-friendly, data-parallel over a
+("data",) mesh when more than one device is present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import TrainConfig
+from ..models.efficientnet import EfficientNetSpec, init_params, forward
+from .checkpoint import load_checkpoint, save_checkpoint
+from .data import BatchLoader, DeepfakeDataset
+from .augment import eval_preprocess_batch
+from .losses import focal_loss_with_smoothing
+from .steps import TrainState, fused_train_step, init_train_state, make_optimizer
+
+_stop_requested = False
+
+
+def _sigint_handler(signum, frame):
+    """(train.py:79-94)."""
+    global _stop_requested
+    if _stop_requested:
+        print("\nSecond interrupt — aborting immediately.")
+        raise KeyboardInterrupt
+    _stop_requested = True
+    print("\nStop requested — will save and exit after this epoch. "
+          "Press Ctrl-C again to abort without saving.")
+
+
+def auc_score(labels: np.ndarray, probs: np.ndarray) -> float:
+    """Rank-based ROC AUC (no sklearn dependency)."""
+    order = np.argsort(probs, kind="stable")
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(1, len(probs) + 1)
+    # average ranks for ties
+    sorted_p = probs[order]
+    i = 0
+    while i < len(sorted_p):
+        j = i
+        while j + 1 < len(sorted_p) and sorted_p[j + 1] == sorted_p[i]:
+            j += 1
+        if j > i:
+            ranks[order[i:j + 1]] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    pos = labels == 1
+    n_pos, n_neg = pos.sum(), (~pos).sum()
+    if n_pos == 0 or n_neg == 0:
+        return 0.0
+    return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def validate(params, loader: BatchLoader, spec: EfficientNetSpec,
+             cfg: TrainConfig):
+    """(train.py:632-679): loss, acc, per-class acc, P/R/F1, AUC."""
+    eval_fn = jax.jit(lambda p, x: jax.nn.sigmoid(
+        forward(p, x, spec, train=False)[:, 0]))
+    probs_all, labels_all, loss_sum, n = [], [], 0.0, 0
+    loss_fn = jax.jit(lambda p, x, y: focal_loss_with_smoothing(
+        forward(p, x, spec, train=False)[:, 0], y,
+        cfg.focal_gamma, cfg.focal_alpha, cfg.label_smoothing))
+    for imgs, labels in loader:
+        x = eval_preprocess_batch(jnp.asarray(imgs))
+        pr = np.asarray(eval_fn(params, x))
+        loss_sum += float(loss_fn(params, x, jnp.asarray(labels))) * len(labels)
+        n += len(labels)
+        probs_all.append(pr)
+        labels_all.append(labels)
+    probs = np.concatenate(probs_all)
+    labels = np.concatenate(labels_all)
+    preds = (probs > 0.5).astype(np.float32)
+    acc = float((preds == labels).mean())
+    real_m, fake_m = labels == 0, labels == 1
+    real_acc = float((preds[real_m] == 0).mean()) if real_m.any() else 0.0
+    fake_acc = float((preds[fake_m] == 1).mean()) if fake_m.any() else 0.0
+    tp = float(((preds == 1) & (labels == 1)).sum())
+    fp = float(((preds == 1) & (labels == 0)).sum())
+    fn = float(((preds == 0) & (labels == 1)).sum())
+    precision = tp / (tp + fp + 1e-10)
+    recall = tp / (tp + fn + 1e-10)
+    f1 = 2 * precision * recall / (precision + recall + 1e-10)
+    auc = auc_score(labels, probs)
+    print(f"  Val Acc: {acc*100:.1f}% (Real: {real_acc*100:.1f}%, "
+          f"Fake: {fake_acc*100:.1f}%) | F1: {f1:.4f} | AUC: {auc:.4f} "
+          f"| Prec: {precision:.3f} Rec: {recall:.3f}")
+    return {"loss": loss_sum / max(n, 1), "acc": acc, "real_acc": real_acc,
+            "fake_acc": fake_acc, "precision": precision, "recall": recall,
+            "f1": f1, "auc": auc}
+
+
+def train(args) -> dict:
+    global _stop_requested
+    _stop_requested = False
+    signal.signal(signal.SIGINT, _sigint_handler)
+
+    cfg = TrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        image_size=args.image_size, seed=args.seed,
+        early_stop_patience=args.patience)
+    spec = EfficientNetSpec.make(args.backbone)
+
+    out_dir = args.output_dir
+    os.makedirs(out_dir, exist_ok=True)
+    resume_path = os.path.join(out_dir, "resume_checkpoint.npz")
+    best_path = os.path.join(out_dir, "best_model.npz")
+    log_path = os.path.join(out_dir, "training_log.json")
+
+    train_ds = DeepfakeDataset(args.dataset, "train", cfg.image_size)
+    val_ds = DeepfakeDataset(args.dataset, "val", cfg.image_size)
+    print(f"  [train] {len(train_ds)} samples {tuple(train_ds.class_counts)}; "
+          f"[val] {len(val_ds)} samples")
+    train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
+                               seed=cfg.seed, balanced=True)
+    val_loader = BatchLoader(val_ds, cfg.batch_size, shuffle=False,
+                             drop_last=False)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    total_steps = steps_per_epoch * cfg.epochs
+    tx = make_optimizer(cfg, total_steps)
+
+    params = init_params(jax.random.PRNGKey(cfg.seed), spec)
+    if args.warm_start and os.path.exists(args.warm_start):
+        if args.warm_start.endswith(".pth"):
+            from ..utils.torch_convert import load_checkpoint as load_torch
+            params, _ = load_torch(args.warm_start, spec)
+        else:
+            st, _, _ = load_checkpoint(args.warm_start, restore_host_rng=False)
+            params = st.params if isinstance(st, TrainState) else st
+        print(f"  Warm-started from {args.warm_start}")
+
+    state = init_train_state(params, cfg, total_steps, cfg.seed)
+    start_epoch = 0
+    best = {"f1": -1.0, "acc": 0.0}
+    training_log = []
+
+    if not args.fresh and os.path.exists(resume_path):
+        state, meta, _ = load_checkpoint(resume_path)
+        start_epoch = meta["epoch"] + 1
+        best = meta["best"]
+        training_log = meta.get("training_log", [])
+        print(f"  Resumed from epoch {meta['epoch']} "
+              f"(best F1 {best['f1']:.4f})")
+
+    step_fn = jax.jit(partial(fused_train_step, spec=spec, cfg=cfg, tx=tx),
+                      donate_argnums=(0,))
+
+    epochs_no_improve = 0
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        losses, accs, seen = [], [], 0
+        for imgs, labels in train_loader:
+            if _stop_requested:
+                break
+            state, metrics = step_fn(state, jnp.asarray(imgs), jnp.asarray(labels))
+            losses.append(float(metrics["loss"]))
+            accs.append(float(metrics["accuracy"]))
+            seen += len(labels)
+        train_loss = float(np.mean(losses)) if losses else 0.0
+        train_acc = float(np.mean(accs)) if accs else 0.0
+
+        # validate with EMA weights (train.py:992-999)
+        val = validate(state.ema_params, val_loader, spec, cfg)
+
+        entry = {"epoch": epoch, "train_loss": train_loss,
+                 "train_acc": train_acc, "epoch_seconds": time.time() - t0,
+                 **{f"val_{k}": v for k, v in val.items()}}
+        training_log.append(entry)
+        with open(log_path, "w") as f:
+            json.dump(training_log, f, indent=2)
+        print(f"Epoch {epoch}: loss {train_loss:.4f} acc {train_acc*100:.1f}% "
+              f"| val F1 {val['f1']:.4f} ({entry['epoch_seconds']:.0f}s)")
+
+        if val["f1"] > best["f1"]:
+            best = {"f1": val["f1"], "acc": val["acc"], "epoch": epoch}
+            save_checkpoint(best_path, state.ema_params,
+                            {"epoch": epoch, "val_acc": val["acc"],
+                             "val_f1": val["f1"], "config": vars(args)})
+            epochs_no_improve = 0
+        else:
+            epochs_no_improve += 1
+
+        save_checkpoint(resume_path, state,
+                        {"epoch": epoch, "best": best,
+                         "training_log": training_log, "args": vars(args)},
+                        jax_rng_key=state.rng)
+
+        if _stop_requested:
+            print("  Stopped by request; checkpoint saved.")
+            break
+        if epochs_no_improve >= cfg.early_stop_patience:
+            print(f"  Early stopping after {epochs_no_improve} epochs "
+                  f"without F1 improvement.")
+            break
+
+    return {"best": best, "log": training_log}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train the deepfake classifier (TPU)")
+    p.add_argument("--dataset", required=True,
+                   help="dir with train/{real,fake} and val/{real,fake}")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--backbone", default="b0", choices=list("b0 b1 b2 b3 b4 b5".split()))
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--patience", type=int, default=7)
+    p.add_argument("--fresh", action="store_true", help="ignore resume checkpoint")
+    p.add_argument("--warm-start", default=None,
+                   help="best_model.pth (torch) or .npz to initialize from")
+    p.add_argument("--output-dir", default="weights")
+    args = p.parse_args(argv)
+    return train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Training stack tests: losses, sampler, augmentation, checkpoints, fused
+step, AUC (reference test strategy §4 applied to the training subsystem)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from real_time_video_deepfake_detection_tpu.core.config import TrainConfig
+from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+    EfficientNetSpec, init_params,
+)
+from real_time_video_deepfake_detection_tpu.train.losses import (
+    focal_loss_with_smoothing, bce_loss,
+)
+from real_time_video_deepfake_detection_tpu.train.augment import (
+    augment_batch, mixup_cutmix, eval_preprocess_batch,
+)
+from real_time_video_deepfake_detection_tpu.train.data import balanced_epoch_indices
+from real_time_video_deepfake_detection_tpu.train.checkpoint import (
+    save_checkpoint, load_checkpoint,
+)
+from real_time_video_deepfake_detection_tpu.train.steps import (
+    TrainState, fused_train_step, init_train_state, make_optimizer,
+)
+from real_time_video_deepfake_detection_tpu.train.trainer import auc_score
+
+rng = np.random.default_rng(41)
+
+
+def test_focal_loss_matches_manual():
+    logits = jnp.asarray([2.0, -1.0, 0.5])
+    labels = jnp.asarray([1.0, 0.0, 1.0])
+    got = float(focal_loss_with_smoothing(logits, labels, 2.0, 0.25, 0.1))
+
+    # manual numpy computation of the same formula
+    l = np.array([2.0, -1.0, 0.5])
+    y = np.array([1.0, 0.0, 1.0])
+    ys = y * 0.9 + 0.05
+    p = 1 / (1 + np.exp(-l))
+    bce = -(ys * np.log(p) + (1 - ys) * np.log(1 - p))
+    p_t = y * p + (1 - y) * (1 - p)
+    a_t = y * 0.25 + (1 - y) * 0.75
+    want = float(np.mean(a_t * (1 - p_t) ** 2 * bce))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_focal_down_weights_easy_examples():
+    easy = float(focal_loss_with_smoothing(jnp.asarray([8.0]), jnp.asarray([1.0])))
+    hard = float(focal_loss_with_smoothing(jnp.asarray([-8.0]), jnp.asarray([1.0])))
+    assert hard > 100 * easy
+
+
+def test_balanced_sampler_two_x_minority():
+    labels = np.array([0] * 10 + [1] * 50)
+    idx = balanced_epoch_indices(labels, np.random.default_rng(0))
+    assert len(idx) == 20
+    frac_real = (labels[idx] == 0).mean()
+    assert 0.25 <= frac_real <= 0.75
+
+
+def test_balanced_sampler_raises_on_missing_class():
+    with pytest.raises(RuntimeError):
+        balanced_epoch_indices(np.zeros(10, np.int64), np.random.default_rng(0))
+
+
+def test_auc_score():
+    labels = np.array([0, 0, 1, 1])
+    assert auc_score(labels, np.array([0.1, 0.2, 0.8, 0.9])) == 1.0
+    assert auc_score(labels, np.array([0.9, 0.8, 0.2, 0.1])) == 0.0
+    assert auc_score(labels, np.array([0.5, 0.5, 0.5, 0.5])) == 0.5
+
+
+def test_augment_batch_shapes_and_range():
+    imgs = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    out = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs), size=44)
+    assert out.shape == (4, 44, 44, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic under the same key
+    out2 = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs), size=44)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = augment_batch(jax.random.PRNGKey(1), jnp.asarray(imgs), size=44)
+    assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 0.01
+
+
+def test_eval_preprocess_is_plain_normalize():
+    imgs = rng.integers(0, 256, (2, 44, 44, 3), dtype=np.uint8)
+    out = np.asarray(eval_preprocess_batch(jnp.asarray(imgs)))
+    want = (imgs / 255.0 - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_mixup_cutmix_contract():
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray((np.arange(8) % 2).astype(np.float32))
+    for seed in range(6):
+        xo, ya, yb, lam = mixup_cutmix(jax.random.PRNGKey(seed), x, y)
+        assert xo.shape == x.shape
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(y))
+        l = float(lam)
+        assert 0.0 <= l <= 1.0
+
+
+def test_checkpoint_roundtrip_with_rng(tmp_path):
+    import random as py_random
+    state = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+    py_random.seed(123)
+    np.random.seed(77)
+    key = jax.random.PRNGKey(9)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state, {"epoch": 3, "best": {"f1": 0.5}}, key)
+
+    expected_py = py_random.random()
+    expected_np = np.random.random()
+
+    py_random.seed(0)
+    np.random.seed(0)
+    loaded, meta, key2 = load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(loaded["a"]), np.arange(5.0))
+    assert meta == {"epoch": 3, "best": {"f1": 0.5}}
+    np.testing.assert_array_equal(np.asarray(key2), np.asarray(key))
+    # host RNG restored to the post-save point
+    assert py_random.random() == expected_py
+    assert np.random.random() == expected_np
+
+
+def test_fused_train_step_learns_something():
+    spec = EfficientNetSpec.make("b0")
+    cfg = TrainConfig(image_size=44, batch_size=8, lr=1e-3)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    tx = make_optimizer(cfg, total_steps=4)
+    state = init_train_state(params, cfg, total_steps=4)
+    imgs = jnp.asarray(rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8))
+    labels = jnp.asarray((np.arange(8) % 2).astype(np.float32))
+    from functools import partial
+    step = jax.jit(partial(fused_train_step, spec=spec, cfg=cfg, tx=tx))
+    state2, m = step(state, imgs, labels)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state2.step) == 1
+    # params actually moved
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.params["fc"], state2.params["fc"])
+    assert max(jax.tree.leaves(d)) > 0
+    # EMA moved but much less
+    de = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                      state.ema_params["fc"], state2.ema_params["fc"])
+    assert 0 < max(jax.tree.leaves(de)) < max(jax.tree.leaves(d))
