@@ -2,12 +2,19 @@
 
 Reference behavior (face_detection.py:37-123): OpenCV-DNN SSD (ResNet-10,
 300x300) when its caffemodel weights exist, else Haar cascade; exceptions
-fall through to Haar, then to an empty list. Here:
+fall through, then to an empty list.
 
-  - primary: SSD-Res10 re-implemented in JAX (models/ssd_res10.py) with a
-    caffemodel weight converter — batched, jitted, runs on TPU
-  - fallback: Haar cascade on host via cv2 (branchy integral-image cascade;
-    deliberately left on CPU — see SURVEY.md §7 "hard parts")
+DESIGN DECISION (SURVEY.md §2.9 "Haar cascade on TPU ... decide in design"):
+cv2 5.0 removed BOTH reference backends — cv2.dnn.readNetFromCaffe and
+cv2.CascadeClassifier incl. the bundled cascade XMLs — so neither can serve
+as a fallback anymore. The ladder here is:
+
+  1. primary: SSD-Res10 via the Caffe->JAX compiler (models/ssd_res10.py),
+     batched + jitted on TPU, when the user-supplied caffemodel exists
+  2. cv2 Haar, attempted only for environments that still ship it
+  3. heuristic skin-region proposal (models/heuristic_face.py) so the face
+     path stays functional with zero downloadable artifacts
+  4. empty list
 
 Same contract as the reference: list of (x, y, w, h) int tuples.
 """
@@ -53,17 +60,33 @@ class FaceDetector:
     with Haar fallback on exception."""
 
     def __init__(self, ssd_weights_path: Optional[str] = None,
-                 confidence_threshold: float = 0.5, min_face_px: int = 20):
+                 confidence_threshold: float = 0.5, min_face_px: int = 20,
+                 enable_heuristic: bool = True):
         self.confidence_threshold = confidence_threshold
         self.min_face_px = min_face_px
+        self.enable_heuristic = enable_heuristic
         self._ssd = None
         if ssd_weights_path and os.path.exists(ssd_weights_path):
             from ..models.ssd_res10 import SSDRes10
             self._ssd = SSDRes10.from_caffemodel(ssd_weights_path)
+        self._haar_ok = True   # probed lazily; cv2 5.0 removed it
 
     @property
     def backend(self) -> str:
-        return "ssd" if self._ssd is not None else "haar"
+        if self._ssd is not None:
+            return "ssd"
+        return "haar" if self._haar_ok else "heuristic"
+
+    def _fallback(self, frame_bgr: np.ndarray) -> List[Box]:
+        if self._haar_ok:
+            try:
+                return detect_haar(frame_bgr)
+            except Exception:
+                self._haar_ok = False
+        if self.enable_heuristic:
+            from ..models.heuristic_face import detect_heuristic
+            return detect_heuristic(frame_bgr)
+        return []
 
     def __call__(self, frame_bgr: np.ndarray) -> List[Box]:
         try:
@@ -74,10 +97,10 @@ class FaceDetector:
             if self._ssd is not None:
                 return self._ssd.detect(
                     frame_bgr, self.confidence_threshold, self.min_face_px)
-            return detect_haar(frame_bgr)
+            return self._fallback(frame_bgr)
         except Exception:
             try:
-                return detect_haar(frame_bgr)
+                return self._fallback(frame_bgr)
             except Exception:
                 return []
 
