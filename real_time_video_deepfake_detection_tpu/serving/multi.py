@@ -1,0 +1,344 @@
+"""Multi-stream serving frontend: dynamic batching onto one TPU step.
+
+BASELINE config 4: N concurrent browser streams multiplexed through
+/analyze. Each request carries a stream identity (form field `stream_id` or
+`X-Stream-Id` header; absent -> the "default" stream, which preserves the
+reference's single-stream semantics exactly). Requests park in a queue; a
+batcher thread ticks when either `max_batch` frames are pending or
+`batch_timeout_ms` elapses, runs ONE jitted device step for all of them
+(serving/batcher.py), and completes the waiting requests.
+
+Per-stream session state lives in the batched StreamStates pytree; /reset
+with a stream id resets only that slot (without: resets everything, like the
+reference). The global 100 ms rate limiter becomes per-stream.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DetectorConfig, ServerConfig
+from ..models.efficientnet import EfficientNetSpec, init_params
+from ..ops.resize import resize_bilinear_u8_cv2
+from ..pipeline.detector import preprocess_face_quality
+from ..pipeline.faces import FaceDetector
+from ..state.tracker import VERDICT_NAMES
+from .batcher import StreamStates, device_step, init_stream_states, reset_streams
+from .wsgi import App, Request, Response, jsonify
+
+
+@dataclass
+class _Pending:
+    stream_slot: int
+    frame_256: np.ndarray          # (256,256,3) u8
+    face_raw: Optional[np.ndarray]  # (160,160,3) f32 or None
+    face_hw: tuple
+    faces_detected: int
+    bbox: Optional[tuple]
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[dict] = None
+    t_start: float = 0.0
+
+
+class MultiStreamEngine:
+    """Owns the stream table, the batched device state, and the batcher
+    thread."""
+
+    def __init__(self, cfg: DetectorConfig = DetectorConfig(),
+                 server_cfg: ServerConfig = ServerConfig(),
+                 params=None, spec: Optional[EfficientNetSpec] = None,
+                 aligner=None, face_detector: Optional[FaceDetector] = None):
+        self.cfg = cfg
+        self.server_cfg = server_cfg
+        self.spec = spec or EfficientNetSpec.make("b0")
+        self.params = params if params is not None else init_params(
+            jax.random.PRNGKey(0), self.spec)
+        self.face_detector = face_detector or FaceDetector(
+            confidence_threshold=cfg.ssd_confidence_threshold,
+            min_face_px=cfg.min_face_px)
+        if aligner is None:
+            from ..pipeline.detector import _ResizeAligner
+            aligner = _ResizeAligner()
+        self.aligner = aligner
+
+        self.n_slots = server_cfg.max_streams
+        self.states: StreamStates = init_stream_states(self.n_slots, cfg)
+        self.slot_of: Dict[str, int] = {}
+        self.last_request: Dict[int, float] = {}
+        self.lock = threading.Lock()
+        self.queue: List[_Pending] = []
+        self.queue_cv = threading.Condition(self.lock)
+        self._stop = False
+        self._warmup()
+        self._thread = threading.Thread(target=self._batcher_loop, daemon=True)
+        self._thread.start()
+
+    def _warmup(self):
+        """Compile the device step before serving (first compile is tens of
+        seconds; requests must never pay it)."""
+        h, w = self.cfg.forensic.analysis_size
+        m = self.cfg.mtcnn_image_size
+        n = self.n_slots
+        out, _ = device_step(
+            self.spec, self.cfg, self.params,
+            jnp.zeros((n, h, w, 3), jnp.uint8),
+            jnp.zeros((n, m, m, 3), jnp.float32),
+            jnp.zeros((n,), bool), jnp.zeros((n, 2), jnp.int32),
+            jnp.zeros((n,), bool), self.states)
+        jax.block_until_ready(out["verdict"])
+
+    # ------------------------------------------------------------- streams
+
+    def slot_for(self, stream_id: str) -> int:
+        with self.lock:
+            if stream_id in self.slot_of:
+                return self.slot_of[stream_id]
+            if len(self.slot_of) >= self.n_slots:
+                # evict least-recently-used stream
+                lru = min(self.slot_of.items(),
+                          key=lambda kv: self.last_request.get(kv[1], 0.0))
+                slot = lru[1]
+                del self.slot_of[lru[0]]
+                mask = np.zeros(self.n_slots, bool)
+                mask[slot] = True
+                self.states = reset_streams(self.states, jnp.asarray(mask))
+            else:
+                slot = len(self.slot_of)
+            self.slot_of[stream_id] = slot
+            return slot
+
+    def rate_limited(self, slot: int) -> Optional[int]:
+        now = time.time()
+        with self.lock:
+            last = self.last_request.get(slot, 0.0)
+            if now - last < self.server_cfg.min_request_interval:
+                return int((self.server_cfg.min_request_interval
+                            - (now - last)) * 1000)
+            self.last_request[slot] = now
+        return None
+
+    def reset(self, stream_id: Optional[str] = None) -> None:
+        with self.lock:
+            mask = np.zeros(self.n_slots, bool)
+            if stream_id is None:
+                mask[:] = True
+                self.last_request.clear()
+            elif stream_id in self.slot_of:
+                mask[self.slot_of[stream_id]] = True
+                self.last_request.pop(self.slot_of[stream_id], None)
+            self.states = reset_streams(self.states, jnp.asarray(mask))
+
+    def frame_count(self, stream_id: str = "default") -> int:
+        with self.lock:
+            slot = self.slot_of.get(stream_id)
+        if slot is None:
+            return 0
+        return int(np.asarray(self.states.frame_count)[slot])
+
+    # --------------------------------------------------------------- intake
+
+    def analyze(self, frame_bgr: np.ndarray, stream_id: str = "default",
+                timeout: float = 60.0) -> dict:
+        """Host-side prep (resize, face detect, align) then enqueue for the
+        next device tick. Blocks until the tick completes."""
+        t0 = time.time()
+        slot = self.slot_for(stream_id)
+
+        h, w = self.cfg.forensic.analysis_size
+        frame256 = np.asarray(resize_bilinear_u8_cv2(jnp.asarray(frame_bgr), h, w))
+
+        faces = self.face_detector(frame_bgr)
+        face_raw = None
+        face_hw = (0, 0)
+        bbox = None
+        if faces:
+            x, y, fw, fh = faces[0]
+            region = frame_bgr[y:y + fh, x:x + fw]
+            try:
+                pre = preprocess_face_quality(region)
+                face_raw = self.aligner(pre)
+            except Exception:
+                face_raw = None
+            if face_raw is not None:
+                face_hw = (fh, fw)
+                bbox = (x, y, fw, fh)
+
+        p = _Pending(stream_slot=slot, frame_256=frame256, face_raw=face_raw,
+                     face_hw=face_hw, faces_detected=len(faces), bbox=bbox,
+                     t_start=t0)
+        with self.queue_cv:
+            self.queue.append(p)
+            self.queue_cv.notify()
+        if not p.event.wait(timeout):
+            raise TimeoutError("device tick timed out")
+        return p.result
+
+    # -------------------------------------------------------------- batcher
+
+    def _batcher_loop(self):
+        timeout_s = self.server_cfg.batch_timeout_ms / 1000.0
+        while not self._stop:
+            with self.queue_cv:
+                if not self.queue:
+                    self.queue_cv.wait(timeout=0.1)
+                    continue
+                deadline = time.time() + timeout_s
+                while (len(self.queue) < self.server_cfg.max_batch
+                       and time.time() < deadline):
+                    self.queue_cv.wait(timeout=max(deadline - time.time(), 0.001))
+                batch = self.queue[:self.server_cfg.max_batch]
+                del self.queue[:len(batch)]
+            try:
+                self._run_tick(batch)
+            except Exception as e:
+                for p in batch:
+                    p.result = {"error": str(e)}
+                    p.event.set()
+
+    def _run_tick(self, batch: List[_Pending]):
+        n = self.n_slots
+        h, w = self.cfg.forensic.analysis_size
+        frames = np.zeros((n, h, w, 3), np.uint8)
+        faces = np.zeros((n, self.cfg.mtcnn_image_size,
+                          self.cfg.mtcnn_image_size, 3), np.float32)
+        has_face = np.zeros(n, bool)
+        face_hw = np.zeros((n, 2), np.int32)
+        active = np.zeros(n, bool)
+        by_slot: Dict[int, _Pending] = {}
+        for p in batch:
+            s = p.stream_slot
+            by_slot[s] = p
+            frames[s] = p.frame_256
+            active[s] = True
+            if p.face_raw is not None:
+                faces[s] = p.face_raw
+                has_face[s] = True
+                face_hw[s] = p.face_hw
+
+        out, self.states = device_step(
+            self.spec, self.cfg, self.params,
+            jnp.asarray(frames), jnp.asarray(faces), jnp.asarray(has_face),
+            jnp.asarray(face_hw), jnp.asarray(active), self.states)
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        for s, p in by_slot.items():
+            fake_prob = float(out["fake_probability"][s])
+            face_prob = float(out["face_probability"][s])
+            forensic_prob = float(out["frame_forensic_probability"][s])
+            verdict = VERDICT_NAMES[int(out["verdict"][s])]
+            ms = round((time.time() - p.t_start) * 1000, 1)
+            resp = {
+                "success": True,
+                "analysis_mode": "face+frame" if has_face[s] else "frame_only",
+                "faces_detected": p.faces_detected,
+                "fake_probability": fake_prob,
+                "frame_forensic_probability": forensic_prob,
+                "real_probability": 1.0 - fake_prob,
+                "confidence_level": verdict,
+                "temporal_average": float(out["temporal_average"][s]),
+                "stability_score": float(out["stability_score"][s]),
+                "frame_count": int(out["frame_count"][s]),
+                "processing_time_ms": ms,
+            }
+            if has_face[s]:
+                resp["face_probability"] = face_prob
+                x, y, fw, fh = p.bbox
+                resp["face_bbox"] = {"x": int(x), "y": int(y),
+                                     "width": int(fw), "height": int(fh)}
+            p.result = resp
+            p.event.set()
+
+    def shutdown(self):
+        self._stop = True
+
+
+def create_batched_app(engine: Optional[MultiStreamEngine] = None,
+                       server_cfg: ServerConfig = ServerConfig()) -> App:
+    """WSGI app with the reference surface, backed by the batching engine.
+    Without a stream id the behavior is the reference's single global
+    stream."""
+    app = App()
+    if engine is None:
+        engine = MultiStreamEngine(
+            DetectorConfig().with_threshold(server_cfg.detection_threshold),
+            server_cfg)
+    app.engine = engine
+
+    def _stream_id(req: Request) -> str:
+        return (req.form.get("stream_id")
+                or req.environ.get("HTTP_X_STREAM_ID")
+                or "default")
+
+    @app.route("/health", methods=["GET"])
+    def health(_req):
+        return jsonify({
+            "status": "healthy",
+            "model_loaded": True,
+            "device": "tpu",
+            "gpu_name": None,
+            "frame_count": engine.frame_count(),
+            "capabilities": {"face_detection": True, "frame_forensics": True,
+                             "temporal_tracking": True},
+        })
+
+    @app.route("/reset", methods=["POST"])
+    def reset(req):
+        sid = req.form.get("stream_id") or req.environ.get("HTTP_X_STREAM_ID")
+        engine.reset(sid)
+        return jsonify({"success": True, "message": "Detector reset successfully"})
+
+    @app.route("/analyze", methods=["POST"])
+    def analyze(req):
+        sid = _stream_id(req)
+        slot = engine.slot_for(sid)
+        retry = engine.rate_limited(slot)
+        if retry is not None:
+            return jsonify({"error": "Rate limited", "retry_after_ms": retry}, 429)
+        if "frame" not in req.files:
+            return jsonify({"error": "No frame provided"}, 400)
+        import cv2
+        arr = np.frombuffer(req.files["frame"], np.uint8)
+        frame = cv2.imdecode(arr, cv2.IMREAD_COLOR) if arr.size else None
+        if frame is None:
+            return jsonify({"error": "Invalid image format"}, 400)
+        try:
+            return jsonify(engine.analyze(frame, sid))
+        except Exception as e:
+            return jsonify({"error": str(e)}, 500)
+
+    @app.route("/stats", methods=["GET"])
+    def stats(req):
+        sid = _stream_id(req)
+        with engine.lock:
+            slot = engine.slot_of.get(sid)
+        if slot is None:
+            return jsonify({"frame_count": 0, "temporal_average": 0.0,
+                            "stability_score": 0.0,
+                            "confidence_level": "UNCERTAIN",
+                            "history_length": 0,
+                            "voting": {"fake_count": 0, "real_count": 0,
+                                       "total_frames": 0},
+                            "device": "tpu"})
+        from ..state.tracker import (tracker_stability, tracker_temporal_average,
+                                     tracker_verdict, tracker_voting_stats)
+        t = jax.tree.map(lambda x: x[slot], engine.states.tracker)
+        fake, real, total = tracker_voting_stats(t)
+        return jsonify({
+            "frame_count": int(np.asarray(engine.states.frame_count)[slot]),
+            "temporal_average": float(tracker_temporal_average(t)),
+            "stability_score": float(tracker_stability(t)),
+            "confidence_level": VERDICT_NAMES[int(tracker_verdict(t))],
+            "history_length": int(t.n_scores),
+            "voting": {"fake_count": int(fake), "real_count": int(real),
+                       "total_frames": int(total)},
+            "device": "tpu",
+        })
+
+    return app

@@ -1,0 +1,131 @@
+"""Multi-stream batched serving tests (BASELINE config 4): per-stream
+session isolation, batching under concurrency, schema preservation."""
+
+import io
+import threading
+import time
+
+import numpy as np
+import pytest
+import cv2
+import jax
+
+from real_time_video_deepfake_detection_tpu.core.config import (
+    DetectorConfig, ServerConfig,
+)
+from real_time_video_deepfake_detection_tpu.serving.multi import (
+    MultiStreamEngine, create_batched_app,
+)
+
+rng = np.random.default_rng(61)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = DetectorConfig().with_threshold(0.55)
+    scfg = ServerConfig(max_streams=8, max_batch=8, batch_timeout_ms=5.0,
+                        min_request_interval=0.0)
+    e = MultiStreamEngine(cfg, scfg)
+    yield e
+    e.shutdown()
+
+
+@pytest.fixture(scope="module")
+def app(engine):
+    return create_batched_app(engine, engine.server_cfg)
+
+
+def _frame(seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, (240, 320, 3), dtype=np.uint8)
+
+
+def _jpeg(frame):
+    ok, enc = cv2.imencode(".jpg", frame)
+    return io.BytesIO(enc.tobytes())
+
+
+def test_streams_are_isolated(engine):
+    engine.reset()
+    for i in range(3):
+        r_a = engine.analyze(_frame(i), "alice")
+    r_b = engine.analyze(_frame(99), "bob")
+    assert r_a["frame_count"] == 3
+    assert r_b["frame_count"] == 1
+    # resetting bob leaves alice intact
+    engine.reset("bob")
+    assert engine.frame_count("alice") == 3
+    assert engine.frame_count("bob") == 0
+
+
+def test_concurrent_streams_batch_together(engine):
+    engine.reset()
+    results = {}
+    errs = []
+
+    def worker(name):
+        try:
+            for i in range(5):
+                results[(name, i)] = engine.analyze(_frame(hash(name) % 100 + i), name)
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(f"s{k}",)) for k in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for k in range(6):
+        assert results[(f"s{k}", 4)]["frame_count"] == 5
+        assert results[(f"s{k}", 4)]["success"] is True
+
+
+def test_batched_matches_reference_single_stream_semantics(engine):
+    """Same frame sequence through the batched engine and through the
+    single-stream DeepfakeDetector server path -> identical probabilities."""
+    from real_time_video_deepfake_detection_tpu.pipeline.detector import (
+        DeepfakeDetector,
+    )
+    engine.reset()
+    det = DeepfakeDetector(DetectorConfig().with_threshold(0.55),
+                           params=engine.params, spec=engine.spec)
+
+    for i in range(7):
+        frame = _frame(i + 200)
+        r_batch = engine.analyze(frame, "parity")
+        forensic = det.analyze_frame_forensics(frame)
+        det.frame_count += 1
+        det.temporal_tracker.update(forensic["fake_probability"])
+        assert r_batch["fake_probability"] == pytest.approx(
+            forensic["fake_probability"], abs=1e-6), i
+        assert r_batch["confidence_level"] == det.temporal_tracker.get_confidence_level()
+        assert r_batch["frame_count"] == det.frame_count
+
+
+def test_http_surface_with_stream_ids(app):
+    app.engine.reset()
+    c = app.test_client()
+    f = _frame(5)
+    r1 = c.post("/analyze", data={"frame": (_jpeg(f), "f.jpg"),
+                                  "stream_id": "s1"})
+    assert r1.status_code == 200
+    j = r1.get_json()
+    assert j["frame_count"] == 1
+    r2 = c.post("/analyze", data={"frame": (_jpeg(f), "f.jpg"),
+                                  "stream_id": "s2"})
+    assert r2.get_json()["frame_count"] == 1
+    r3 = c.post("/analyze", data={"frame": (_jpeg(f), "f.jpg"),
+                                  "stream_id": "s1"})
+    assert r3.get_json()["frame_count"] == 2
+    # per-stream stats
+    s = c.get("/stats")  # default stream: untouched
+    assert s.get_json()["frame_count"] == 0
+
+
+def test_slot_eviction_lru(engine):
+    engine.reset()
+    for k in range(engine.n_slots + 2):   # overflow the table
+        engine.analyze(_frame(k), f"overflow{k}")
+    # newest stream still works; engine didn't crash and capped slots
+    assert len(engine.slot_of) == engine.n_slots
