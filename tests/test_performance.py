@@ -1,0 +1,123 @@
+"""Performance tests (reference tests/test_performance.py categories).
+
+On CPU these run as smoke checks with generous budgets (the reference's own
+budgets assume its hardware); the tight reference budgets are asserted only
+on real TPU (marked `tpu`). Resource-bound tests (param count, state size)
+assert everywhere.
+"""
+
+import time
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from real_time_video_deepfake_detection_tpu.core.config import DetectorConfig
+from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+    EfficientNetSpec, init_params, param_count,
+)
+from real_time_video_deepfake_detection_tpu.ops import forensics
+from real_time_video_deepfake_detection_tpu.pipeline.classify import classify_batch
+from real_time_video_deepfake_detection_tpu.state.forensic_state import (
+    forensic_state_init,
+)
+from real_time_video_deepfake_detection_tpu.state.tracker import tracker_init
+
+rng = np.random.default_rng(81)
+
+ON_TPU = jax.default_backend() not in ("cpu",)
+
+
+def _bench(fn, *args, warmup=2, iters=5):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1000  # ms
+
+
+SPEC = EfficientNetSpec.make("b0")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), SPEC)
+
+
+def test_model_inference_budget(params):
+    """Reference: <200 ms GPU / <500 ms CPU for a single 224 forward
+    (tests/test_performance.py:74-90)."""
+    face = jnp.asarray(rng.random((1, 160, 160, 3), dtype=np.float32) * 255)
+    ms = _bench(lambda: classify_batch(params, face, SPEC))
+    budget = 200 if ON_TPU else 500
+    assert ms < budget, f"{ms:.1f} ms"
+
+
+def test_full_forensics_budget():
+    """Reference: full 6-signal analysis <50 ms (CPU budget; we run the
+    batched step for ONE frame here)."""
+    frame = jnp.asarray(rng.integers(0, 256, (256, 256, 3), dtype=np.uint8))
+    state = forensic_state_init()
+    f = jax.jit(lambda fr, st: forensics.analyze_frame(fr, st, True))
+    ms = _bench(lambda: f(frame, state)[0]["fake_probability"])
+    budget = 50 if ON_TPU else 400
+    assert ms < budget, f"{ms:.1f} ms"
+
+
+def test_tracker_update_fast():
+    from real_time_video_deepfake_detection_tpu.state.tracker import tracker_update
+    st = tracker_init()
+    f = jax.jit(lambda s: tracker_update(s, 0.5, True, 0.5))
+    ms = _bench(lambda: f(st).scores)
+    assert ms < 10, f"{ms:.2f} ms"
+
+
+def test_param_count_budget(params):
+    """<8M params (reference tests/test_performance.py:234-241)."""
+    stats = sum(int(np.prod(v.shape))
+                for path, v in jax.tree_util.tree_leaves_with_path(params)
+                if any(getattr(p, "key", None) in ("mean", "var") for p in path))
+    assert param_count(params) - stats < 8_000_000
+
+
+def test_per_stream_state_is_small():
+    """64-stream session state must stay trivially small (the design claim
+    that per-stream state batches for free)."""
+    from real_time_video_deepfake_detection_tpu.serving.batcher import (
+        init_stream_states,
+    )
+    st = init_stream_states(64)
+    total_bytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(st))
+    assert total_bytes < 20 * 1024 * 1024  # dominated by 64 prev-gray planes
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(not ON_TPU, reason="TPU-only budget")
+def test_batched_tick_meets_latency_target(params):
+    """North star: p95 tick latency < 20 ms at 64 streams (BASELINE.md)."""
+    from real_time_video_deepfake_detection_tpu.serving.batcher import (
+        device_step, init_stream_states,
+    )
+    cfg = DetectorConfig().with_threshold(0.55)
+    n = 64
+    states = init_stream_states(n, cfg)
+    frames = jax.device_put(rng.integers(0, 256, (n, 256, 256, 3), dtype=np.uint8))
+    faces = jax.device_put(rng.random((n, 160, 160, 3), dtype=np.float32) * 255)
+    has_face = jnp.ones((n,), bool)
+    face_hw = jnp.full((n, 2), 120, jnp.int32)
+    active = jnp.ones((n,), bool)
+    out, states = device_step(SPEC, cfg, params, frames, faces, has_face,
+                              face_hw, active, states)
+    jax.block_until_ready(out["verdict"])
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out, states = device_step(SPEC, cfg, params, frames, faces, has_face,
+                                  face_hw, active, states)
+        jax.block_until_ready(out["verdict"])
+        lat.append(time.perf_counter() - t0)
+    p95 = float(np.percentile(lat, 95) * 1000)
+    assert p95 < 60, f"p95 {p95:.1f} ms"  # 20 ms target; 60 allows tunnel RTT
