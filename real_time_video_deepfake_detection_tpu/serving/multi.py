@@ -75,10 +75,22 @@ class MultiStreamEngine:
         self.lock = threading.Lock()
         self.queue: List[_Pending] = []
         self.queue_cv = threading.Condition(self.lock)
+        # Observability (SURVEY.md §5: the reference only reports per-request
+        # wall clock; here per-stage EWMAs + batch occupancy feed /metrics).
+        self.metrics = {
+            "ticks": 0, "frames_total": 0,
+            "ewma_device_ms": 0.0, "ewma_host_prep_ms": 0.0,
+            "ewma_batch_size": 0.0, "max_batch_seen": 0,
+        }
+
         self._stop = False
         self._warmup()
         self._thread = threading.Thread(target=self._batcher_loop, daemon=True)
         self._thread.start()
+
+    def _ewma(self, key: str, value: float, alpha: float = 0.1):
+        cur = self.metrics[key]
+        self.metrics[key] = value if cur == 0.0 else (1 - alpha) * cur + alpha * value
 
     def _warmup(self):
         """Compile the device step before serving (first compile is tens of
@@ -203,6 +215,7 @@ class MultiStreamEngine:
                     p.event.set()
 
     def _run_tick(self, batch: List[_Pending]):
+        t_tick = time.time()
         n = self.n_slots
         h, w = self.cfg.forensic.analysis_size
         frames = np.zeros((n, h, w, 3), np.uint8)
@@ -222,11 +235,21 @@ class MultiStreamEngine:
                 has_face[s] = True
                 face_hw[s] = p.face_hw
 
+        t_dev = time.time()
         out, self.states = device_step(
             self.spec, self.cfg, self.params,
             jnp.asarray(frames), jnp.asarray(faces), jnp.asarray(has_face),
             jnp.asarray(face_hw), jnp.asarray(active), self.states)
         out = {k: np.asarray(v) for k, v in out.items()}
+
+        m = self.metrics
+        m["ticks"] += 1
+        m["frames_total"] += len(batch)
+        m["max_batch_seen"] = max(m["max_batch_seen"], len(batch))
+        self._ewma("ewma_device_ms", (time.time() - t_dev) * 1000)
+        self._ewma("ewma_batch_size", float(len(batch)))
+        host_ms = [(t_dev - p.t_start) * 1000 for p in batch]
+        self._ewma("ewma_host_prep_ms", float(np.mean(host_ms)))
 
         for s, p in by_slot.items():
             fake_prob = float(out["fake_probability"][s])
@@ -312,6 +335,17 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
             return jsonify(engine.analyze(frame, sid))
         except Exception as e:
             return jsonify({"error": str(e)}, 500)
+
+    @app.route("/metrics", methods=["GET"])
+    def metrics(_req):
+        """Additive observability endpoint (not part of the preserved
+        reference surface): batching + device telemetry."""
+        with engine.lock:
+            active_streams = len(engine.slot_of)
+        return jsonify({**{k: (round(v, 3) if isinstance(v, float) else v)
+                           for k, v in engine.metrics.items()},
+                        "active_streams": active_streams,
+                        "max_streams": engine.n_slots})
 
     @app.route("/stats", methods=["GET"])
     def stats(req):
