@@ -1,0 +1,134 @@
+"""ctypes bindings + lazy build for the C++ ingest data plane
+(native/ingest.cpp): JPEG decode (libjpeg) and bit-exact cv2 INTER_LINEAR
+resize on the host, with a threaded batch API. Falls back to cv2 when the
+toolchain or libjpeg is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "ingest.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, ".build")
+_SO = os.path.join(_BUILD_DIR, "libingest.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if (os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO, "-ljpeg", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.ingest_decode.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.ingest_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.ingest_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.ingest_decode_resize.restype = ctypes.c_int
+        lib.ingest_decode_resize.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.ingest_decode_resize_batch.restype = ctypes.c_int
+        lib.ingest_decode_resize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.ingest_resize_u8.restype = ctypes.c_int
+        lib.ingest_resize_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """JPEG bytes -> BGR u8 array (native), None on failure/unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    buf = lib.ingest_decode(data, len(data), 0,
+                            ctypes.byref(h), ctypes.byref(w))
+    if not buf:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(buf, shape=(h.value, w.value, 3)).copy()
+    finally:
+        lib.ingest_free(buf)
+    return arr
+
+
+def decode_resize(data: bytes, dh: int = 256, dw: int = 256) -> Optional[np.ndarray]:
+    """JPEG bytes -> (dh, dw, 3) BGR u8 analysis frame, full-decode then
+    bit-exact cv2 resize — one native call, no intermediate copies to
+    Python."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((dh, dw, 3), np.uint8)
+    rc = lib.ingest_decode_resize(
+        data, len(data), out.ctypes.data, dh, dw, None, None)
+    return out if rc == 0 else None
+
+
+def decode_resize_batch(datas: List[bytes], dh: int = 256,
+                        dw: int = 256, n_threads: int = 0):
+    """List of JPEG byte strings -> ((N, dh, dw, 3) u8, ok bool array)."""
+    lib = get_lib()
+    if lib is None:
+        return None, None
+    n = len(datas)
+    out = np.empty((n, dh, dw, 3), np.uint8)
+    ok = (ctypes.c_int * n)()
+    arr_p = (ctypes.c_char_p * n)(*datas)
+    arr_l = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    lib.ingest_decode_resize_batch(arr_p, arr_l, out.ctypes.data,
+                                   dh, dw, n, n_threads, ok)
+    return out, np.ctypeslib.as_array(ok).astype(bool).copy()
+
+
+def resize_u8(src: np.ndarray, dh: int, dw: int) -> Optional[np.ndarray]:
+    """Native bit-exact cv2 INTER_LINEAR resize of an HWC u8 array."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src)
+    out = np.empty((dh, dw, 3), np.uint8)
+    lib.ingest_resize_u8(src.ctypes.data, src.shape[0], src.shape[1],
+                         out.ctypes.data, dh, dw)
+    return out

@@ -1,0 +1,63 @@
+"""Native C++ ingest data-plane tests: bit-exactness vs cv2 for JPEG decode
+and INTER_LINEAR resize, batch API, failure handling. Skipped when the
+toolchain/libjpeg is unavailable."""
+
+import numpy as np
+import pytest
+import cv2
+
+from real_time_video_deepfake_detection_tpu.utils import native_ingest as ni
+
+pytestmark = pytest.mark.skipif(ni.get_lib() is None,
+                                reason="native ingest unavailable")
+
+rng = np.random.default_rng(101)
+
+
+def _jpeg_bytes(img, q=85):
+    ok, enc = cv2.imencode(".jpg", img, [int(cv2.IMWRITE_JPEG_QUALITY), q])
+    return enc.tobytes()
+
+
+def test_decode_bit_exact_vs_cv2():
+    for shape in [(480, 640), (123, 217), (720, 1280)]:
+        img = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+        data = _jpeg_bytes(img)
+        ref = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        got = ni.decode_jpeg(data)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_resize_bit_exact():
+    img = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    data = _jpeg_bytes(img)
+    ref = cv2.resize(cv2.imdecode(np.frombuffer(data, np.uint8),
+                                  cv2.IMREAD_COLOR),
+                     (256, 256), interpolation=cv2.INTER_LINEAR)
+    got = ni.decode_resize(data, 256, 256)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_resize_only_bit_exact():
+    for shape in [(480, 640), (512, 512), (300, 400)]:
+        img = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+        ref = cv2.resize(img, (256, 256), interpolation=cv2.INTER_LINEAR)
+        got = ni.resize_u8(img, 256, 256)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_batch_decode():
+    imgs = [rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+            for _ in range(8)]
+    datas = [_jpeg_bytes(im) for im in imgs]
+    datas[3] = b"not a jpeg"
+    out, ok = ni.decode_resize_batch(datas, 256, 256, n_threads=4)
+    assert ok.sum() == 7 and not ok[3]
+    ref = cv2.resize(cv2.imdecode(np.frombuffer(datas[0], np.uint8),
+                                  cv2.IMREAD_COLOR), (256, 256))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_garbage_returns_none():
+    assert ni.decode_jpeg(b"garbage") is None
+    assert ni.decode_resize(b"") is None
