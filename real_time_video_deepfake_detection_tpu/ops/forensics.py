@@ -127,12 +127,18 @@ def color_score(frame_bgr_u8: jax.Array) -> jax.Array:
     sat_std = jnp.sqrt(jnp.maximum(jnp.mean(sat ** 2) - jnp.mean(sat) ** 2, 0.0))
     val_std = jnp.sqrt(jnp.maximum(jnp.mean(val ** 2) - jnp.mean(val) ** 2, 0.0))
 
-    # Unique-hue count WITHOUT a scatter histogram: TPU scatter-adds
-    # serialize (measured 118 ms for 64 streams), and a dense one-hot compare
-    # blows up XLA compile time inside the fused program. Sorting the 64k
-    # hues and counting transitions is exact, fast, and compiles cleanly.
-    hue = jnp.sort(hsv[..., 0].astype(jnp.int32).reshape(-1))
-    unique_hues = 1 + jnp.sum(hue[1:] != hue[:-1])
+    # Unique-hue count. Implementation history (64-stream fused-program
+    # timings on v5e): scatter-add histogram 118 ms (TPU scatters
+    # serialize); jnp.sort 73 ms; dense (65536,181) one-hot compare hangs
+    # the XLA compile. A fori_loop over the 181 possible hues with an
+    # any-equal reduce per bin keeps the program tiny and the compare
+    # volume on the VPU (~2 ms).
+    hue = hsv[..., 0].astype(jnp.int32).reshape(-1)
+
+    def _count_bin(b, acc):
+        return acc + jnp.any(hue == b).astype(jnp.int32)
+
+    unique_hues = jax.lax.fori_loop(0, 181, _count_bin, jnp.int32(0))
 
     score = jnp.where(sat_std < 15, 0.3, jnp.where(sat_std < 25, 0.1, 0.0))
     score += jnp.where(val_std < 15, 0.25, jnp.where(val_std < 25, 0.1, 0.0))
@@ -184,6 +190,7 @@ def analyze_frame(
     state: ForensicState,
     full: jax.Array,
     cfg: ForensicConfig = ForensicConfig(),
+    color_score_override: jax.Array | None = None,
 ) -> Tuple[dict, ForensicState]:
     """One forensic step: `full=True` runs all six signals with the full
     weights (frame_analysis.py:58-101); `full=False` the fast trio with fast
@@ -211,7 +218,11 @@ def analyze_frame(
     s_edge = edge_score(gray_u8)
     s_noise = noise_score(gray_f32)
     s_ela = ela_score(frame_bgr_u8)
-    s_color = color_score(frame_bgr_u8)
+    # The batched path precomputes color via the fused Pallas kernel
+    # (kernels/color_stats.py) — every pure-XLA unique-hue formulation is
+    # slow at batch scale on TPU (see that module's docstring).
+    s_color = (color_score(frame_bgr_u8) if color_score_override is None
+               else color_score_override)
 
     full_combined = (s_freq * cfg.w_frequency + s_noise * cfg.w_noise
                      + s_ela * cfg.w_ela + s_edge * cfg.w_edge
@@ -235,6 +246,15 @@ def analyze_frame(
     return results, new_state
 
 
-def analyze_frame_batch(frames, states, fulls, cfg: ForensicConfig = ForensicConfig()):
-    """vmap of analyze_frame over the stream axis (cfg broadcast)."""
+def analyze_frame_batch(frames, states, fulls, cfg: ForensicConfig = ForensicConfig(),
+                        use_pallas_color: bool = True):
+    """vmap of analyze_frame over the stream axis (cfg broadcast). The color
+    signal runs once for the whole batch through the fused Pallas kernel."""
+    if use_pallas_color:
+        from ..kernels.color_stats import color_stats_pallas, color_score_from_stats
+        interpret = jax.default_backend() == "cpu"
+        colors = color_score_from_stats(
+            color_stats_pallas(frames, interpret=interpret))
+        return jax.vmap(lambda f, s, fl, c: analyze_frame(f, s, fl, cfg, c))(
+            frames, states, fulls, colors)
     return jax.vmap(lambda f, s, fl: analyze_frame(f, s, fl, cfg))(frames, states, fulls)

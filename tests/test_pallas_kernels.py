@@ -51,3 +51,23 @@ def test_noise_block_stats_kernel():
                                    np.asarray(ref_mean), atol=1e-3)
         np.testing.assert_allclose(np.asarray(stds[i]).reshape(-1),
                                    np.asarray(ref_std), atol=1e-3)
+
+
+def test_color_stats_kernel_matches_reference():
+    import cv2
+    from real_time_video_deepfake_detection_tpu.kernels.color_stats import (
+        color_stats_pallas, color_score_from_stats,
+    )
+    frames = np.concatenate([
+        rng.integers(0, 256, (2, 256, 256, 3), dtype=np.uint8),
+        np.full((1, 256, 256, 3), 128, np.uint8)])
+    stats = np.asarray(color_stats_pallas(jnp.asarray(frames), interpret=True))
+    scores = np.asarray(color_score_from_stats(jnp.asarray(stats)))
+    for i, f in enumerate(frames):
+        hsv = cv2.cvtColor(f, cv2.COLOR_BGR2HSV)
+        assert stats[i, 0] == pytest.approx(
+            float(hsv[..., 1].astype(np.float32).std()), abs=1e-2)
+        assert stats[i, 1] == pytest.approx(
+            float(hsv[..., 2].astype(np.float32).std()), abs=1e-2)
+        assert int(stats[i, 2]) == len(np.unique(hsv[..., 0]))
+        assert 0.0 <= scores[i] <= 1.0
