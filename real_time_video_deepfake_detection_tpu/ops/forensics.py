@@ -251,10 +251,9 @@ def analyze_frame_batch(frames, states, fulls, cfg: ForensicConfig = ForensicCon
     """vmap of analyze_frame over the stream axis (cfg broadcast). The color
     signal runs once for the whole batch through the fused Pallas kernel."""
     if use_pallas_color:
-        from ..kernels.color_stats import color_stats_pallas, color_score_from_stats
+        from ..kernels.color_stats import color_scores_batch
         interpret = jax.default_backend() == "cpu"
-        colors = color_score_from_stats(
-            color_stats_pallas(frames, interpret=interpret))
+        colors = color_scores_batch(frames, interpret=interpret)
         return jax.vmap(lambda f, s, fl, c: analyze_frame(f, s, fl, cfg, c))(
             frames, states, fulls, colors)
     return jax.vmap(lambda f, s, fl: analyze_frame(f, s, fl, cfg))(frames, states, fulls)

@@ -53,21 +53,20 @@ def test_noise_block_stats_kernel():
                                    np.asarray(ref_std), atol=1e-3)
 
 
-def test_color_stats_kernel_matches_reference():
-    import cv2
+def test_color_kernel_matches_reference():
+    import cv2, sys
+    sys.path.insert(0, "/root/reference")
+    from frame_analysis import FrameForensicAnalyzer
     from real_time_video_deepfake_detection_tpu.kernels.color_stats import (
-        color_stats_pallas, color_score_from_stats,
+        color_scores_batch, unique_hue_count_pallas,
     )
+    fa = FrameForensicAnalyzer()
     frames = np.concatenate([
         rng.integers(0, 256, (2, 256, 256, 3), dtype=np.uint8),
         np.full((1, 256, 256, 3), 128, np.uint8)])
-    stats = np.asarray(color_stats_pallas(jnp.asarray(frames), interpret=True))
-    scores = np.asarray(color_score_from_stats(jnp.asarray(stats)))
+    scores = np.asarray(color_scores_batch(jnp.asarray(frames), interpret=True))
+    hues = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2HSV)[..., 0] for f in frames])
+    uniq = np.asarray(unique_hue_count_pallas(jnp.asarray(hues), interpret=True))
     for i, f in enumerate(frames):
-        hsv = cv2.cvtColor(f, cv2.COLOR_BGR2HSV)
-        assert stats[i, 0] == pytest.approx(
-            float(hsv[..., 1].astype(np.float32).std()), abs=1e-2)
-        assert stats[i, 1] == pytest.approx(
-            float(hsv[..., 2].astype(np.float32).std()), abs=1e-2)
-        assert int(stats[i, 2]) == len(np.unique(hsv[..., 0]))
-        assert 0.0 <= scores[i] <= 1.0
+        assert scores[i] == pytest.approx(fa._analyze_color(f), abs=1e-6)
+        assert int(uniq[i]) == len(np.unique(hues[i]))
