@@ -1,0 +1,90 @@
+"""Probability calibration (reference C7's optional isotonic calibrator,
+deepfake_detection.py:334-342, 445-455 — the reference loads an sklearn
+pickle that never ships; here the calibrator is self-contained).
+
+Isotonic regression via pool-adjacent-violators, exposed with the
+`predict_proba([[p]])[0][1]` surface the detector's apply_calibration
+expects, plus fit/save/load helpers.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Sequence
+
+import numpy as np
+
+
+class IsotonicCalibrator:
+    """Monotone map from raw fake-probabilities to calibrated probabilities."""
+
+    def __init__(self, x: np.ndarray | None = None,
+                 y: np.ndarray | None = None):
+        self.x_ = x
+        self.y_ = y
+
+    def fit(self, probs: Sequence[float], labels: Sequence[int]) -> "IsotonicCalibrator":
+        p = np.asarray(probs, np.float64)
+        t = np.asarray(labels, np.float64)
+        order = np.argsort(p, kind="stable")
+        xs, ys = p[order], t[order]
+
+        # pool adjacent violators
+        level_y = list(ys)
+        level_w = [1.0] * len(ys)
+        level_x = list(xs)
+        i = 0
+        vals = []
+        for xi, yi in zip(level_x, level_y):
+            vals.append([yi, 1.0, xi, xi])
+            while len(vals) > 1 and vals[-2][0] >= vals[-1][0]:
+                y2, w2, lo2, hi2 = vals.pop()
+                y1, w1, lo1, hi1 = vals.pop()
+                w = w1 + w2
+                vals.append([(y1 * w1 + y2 * w2) / w, w, lo1, hi2])
+        self.x_ = np.array([v[2] for v in vals] + [vals[-1][3]])
+        self.y_ = np.array([v[0] for v in vals] + [vals[-1][0]])
+        return self
+
+    def transform(self, probs: np.ndarray) -> np.ndarray:
+        if self.x_ is None:
+            return np.asarray(probs)
+        return np.interp(np.asarray(probs), self.x_, self.y_)
+
+    # sklearn-compatible surface used by apply_calibration
+    def predict_proba(self, rows):
+        p = np.asarray(rows, np.float64).reshape(-1)
+        cal = self.transform(p)
+        return np.stack([1 - cal, cal], axis=1)
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump({"x": self.x_, "y": self.y_}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "IsotonicCalibrator":
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        if isinstance(d, dict) and "x" in d:
+            return cls(d["x"], d["y"])
+        return d  # a pickled calibrator object
+
+
+def fit_calibrator_from_validation(params, spec, loader, out_path: str):
+    """Fit on validation predictions and save (usable as the detector's
+    weights/calibrator.pkl)."""
+    import jax
+    import jax.numpy as jnp
+    from ..models.efficientnet import forward
+    from .augment import eval_preprocess_batch
+
+    eval_fn = jax.jit(lambda p, x: jax.nn.sigmoid(
+        forward(p, x, spec, train=False)[:, 0]))
+    probs, labels = [], []
+    for imgs, lab in loader:
+        x = eval_preprocess_batch(jnp.asarray(imgs))
+        probs.append(np.asarray(eval_fn(params, x)))
+        labels.append(lab)
+    cal = IsotonicCalibrator().fit(np.concatenate(probs), np.concatenate(labels))
+    cal.save(out_path)
+    return cal
