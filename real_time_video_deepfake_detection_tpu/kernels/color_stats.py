@@ -27,8 +27,9 @@ def _kernel(hue_ref, out_ref):
         return acc + jnp.any(h == b).astype(jnp.float32)
 
     unique = jax.lax.fori_loop(0, 181, count_bin, jnp.float32(0.0))
-    row = jnp.zeros((128,), jnp.float32).at[0].set(unique)
-    out_ref[0, 0, :] = row
+    # scatter isn't lowerable in Mosaic; write the scalar via an iota select
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out_ref[0, :, :] = jnp.where(lane == 0, unique, 0.0)
 
 
 def unique_hue_count_pallas(hue_u8: jax.Array, interpret: bool = False) -> jax.Array:
