@@ -21,30 +21,45 @@ from ..ops.color import bgr_to_hsv_u8
 
 
 def _kernel(hue_ref, out_ref):
-    h = hue_ref[0].astype(jnp.int32)   # (H, W)
+    """hue block (1, n_chunks, chunk) int32. Bins fully vectorized: each of
+    the few chunk iterations compares a (256 bins, chunk px) tile on the VPU
+    — a 181-step scalar bin loop costs ~1 ms/frame in loop overhead; this
+    form is ~tens of µs."""
+    n_chunks = hue_ref.shape[1]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
 
-    def count_bin(b, acc):
-        return acc + jnp.any(h == b).astype(jnp.float32)
-
-    unique = jax.lax.fori_loop(0, 181, count_bin, jnp.float32(0.0))
+    # static unroll (n_chunks is small): dynamic indexing into the chunk dim
+    # isn't provably aligned for Mosaic's vector loads
+    presence = jnp.zeros((256, 1), jnp.bool_)
+    for i in range(n_chunks):
+        chunk = hue_ref[0, i, :].astype(jnp.int32).reshape(1, -1)
+        eq = chunk == bins                        # (256, chunk)
+        presence = presence | jnp.any(eq, axis=1, keepdims=True)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0) < 181
+    unique = jnp.sum((presence & valid).astype(jnp.float32))
     # scatter isn't lowerable in Mosaic; write the scalar via an iota select
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     out_ref[0, :, :] = jnp.where(lane == 0, unique, 0.0)
 
 
-def unique_hue_count_pallas(hue_u8: jax.Array, interpret: bool = False) -> jax.Array:
+def unique_hue_count_pallas(hue_u8: jax.Array, interpret: bool = False,
+                            chunk: int = 8192) -> jax.Array:
     """(B, H, W) u8 hue planes -> (B,) distinct-hue counts (float32)."""
     bsz, h, w = hue_u8.shape
+    total = h * w
+    n_chunks = max(total // chunk, 1)
+    chunk = total // n_chunks
+    hue = hue_u8.reshape(bsz, n_chunks, chunk)
     out = pl.pallas_call(
         _kernel,
         grid=(bsz,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, n_chunks, chunk), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, 1, 128), jnp.float32),
         interpret=interpret,
-    )(hue_u8)
+    )(hue)
     return out[:, 0, 0]
 
 
