@@ -127,18 +127,22 @@ def color_score(frame_bgr_u8: jax.Array) -> jax.Array:
     sat_std = jnp.sqrt(jnp.maximum(jnp.mean(sat ** 2) - jnp.mean(sat) ** 2, 0.0))
     val_std = jnp.sqrt(jnp.maximum(jnp.mean(val ** 2) - jnp.mean(val) ** 2, 0.0))
 
-    # Unique-hue count. Implementation history (64-stream fused-program
+    # Unique-hue count via presence BITSETS: each pixel contributes bit
+    # (hue % 32) to word (hue // 32); six OR-reductions + popcount give the
+    # distinct count. Implementation history (64-stream fused-program
     # timings on v5e): scatter-add histogram 118 ms (TPU scatters
-    # serialize); jnp.sort 73 ms; dense (65536,181) one-hot compare hangs
-    # the XLA compile. A fori_loop over the 181 possible hues with an
-    # any-equal reduce per bin keeps the program tiny and the compare
-    # volume on the VPU (~2 ms).
-    hue = hsv[..., 0].astype(jnp.int32).reshape(-1)
-
-    def _count_bin(b, acc):
-        return acc + jnp.any(hue == b).astype(jnp.int32)
-
-    unique_hues = jax.lax.fori_loop(0, 181, _count_bin, jnp.int32(0))
+    # serialize), jnp.sort 73 ms, per-bin loops ~70 ms of loop overhead,
+    # dense/chunked one-hot compares 70+ ms (760M lane-misaligned int
+    # compares); this form is ~1M ops per frame.
+    hue = hsv[..., 0].astype(jnp.int32)
+    bit = jnp.left_shift(jnp.int32(1), jnp.bitwise_and(hue, 31))
+    group = jnp.right_shift(hue, 5)   # 0..5 covers hues 0..191
+    unique_hues = jnp.int32(0)
+    for g in range(6):
+        word = jax.lax.reduce(
+            jnp.where(group == g, bit, 0), jnp.int32(0),
+            jax.lax.bitwise_or, (0, 1))
+        unique_hues = unique_hues + jax.lax.population_count(word)
 
     score = jnp.where(sat_std < 15, 0.3, jnp.where(sat_std < 25, 0.1, 0.0))
     score += jnp.where(val_std < 15, 0.25, jnp.where(val_std < 25, 0.1, 0.0))
@@ -247,10 +251,14 @@ def analyze_frame(
 
 
 def analyze_frame_batch(frames, states, fulls, cfg: ForensicConfig = ForensicConfig(),
-                        use_pallas_color: bool = True):
+                        use_pallas_color: bool = False):
     """vmap of analyze_frame over the stream axis (cfg broadcast). The color
     signal runs once for the whole batch through the fused Pallas kernel."""
     if use_pallas_color:
+        # Retained as an option for host-attached TPU deployments. On the
+        # axon remote runtime a Pallas custom call inside (or feeding) a big
+        # program costs ~2 tunnel round-trips (~70 ms), so the default is
+        # the pure-XLA bitset unique-hue count in color_score (sub-ms).
         from ..kernels.color_stats import color_scores_batch
         interpret = jax.default_backend() == "cpu"
         colors = color_scores_batch(frames, interpret=interpret)
