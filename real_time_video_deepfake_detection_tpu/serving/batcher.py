@@ -129,3 +129,18 @@ def device_step(spec: EfficientNetSpec, cfg: DetectorConfig, params,
 def resize_frames_on_device(frames_u8: jax.Array, h: int = 256, w: int = 256):
     """(N,H,W,3) u8 -> (N,256,256,3) u8, cv2-parity resize, on device."""
     return jax.vmap(lambda f: resize_bilinear_u8_cv2(f, h, w))(frames_u8)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def device_step_from_capture(spec: EfficientNetSpec, cfg: DetectorConfig,
+                             params, frames_capture_u8: jax.Array,
+                             faces_raw: jax.Array, has_face: jax.Array,
+                             face_hw: jax.Array, active: jax.Array,
+                             states: StreamStates):
+    """device_step with the capture->analysis resize fused in (ONE program
+    per tick — cross-program dependencies cost a round-trip on remote
+    runtimes). frames_capture_u8: (N, H, W, 3) at the capture resolution."""
+    h, w = cfg.forensic.analysis_size
+    small = jax.vmap(lambda f: resize_bilinear_u8_cv2(f, h, w))(frames_capture_u8)
+    return device_step(spec, cfg, params, small, faces_raw, has_face,
+                       face_hw, active, states)
