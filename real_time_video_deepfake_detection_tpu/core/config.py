@@ -70,6 +70,9 @@ class DetectorConfig:
     ssd_confidence_threshold: float = 0.5  # (face_detection.py:37)
     model_input_size: int = 224        # classifier input (:383)
     mtcnn_image_size: int = 160        # MTCNN crop size (facenet default)
+    # bf16 classifier compute (MXU fast path; ~1e-3-level prob deviations —
+    # keep False when bit-comparing verdicts against the reference)
+    bf16_inference: bool = False
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
     forensic: ForensicConfig = dataclasses.field(default_factory=ForensicConfig)
 

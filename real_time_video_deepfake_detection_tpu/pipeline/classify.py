@@ -29,11 +29,19 @@ def preprocess_aligned(face_rgb_raw: jax.Array, size: int = 224) -> jax.Array:
     return (x - _IMAGENET_MEAN) / _IMAGENET_STD
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def classify_batch(params, faces_rgb_raw: jax.Array, spec: EfficientNetSpec,
-                   size: int = 224) -> jax.Array:
-    """(B, H, W, 3) raw-RGB aligned faces -> (B,) fake probabilities."""
+                   size: int = 224, bf16: bool = False) -> jax.Array:
+    """(B, H, W, 3) raw-RGB aligned faces -> (B,) fake probabilities.
+    bf16=True runs the backbone in bfloat16 (f32 master weights cast at
+    trace time; sigmoid in f32) — ~20% faster on the MXU, ~1e-3 prob drift."""
     x = jax.vmap(lambda f: preprocess_aligned(f, size))(faces_rgb_raw)
+    if bf16:
+        p = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, params)
+        logits = forward(p, x.astype(jnp.bfloat16), spec, train=False)
+        return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
     logits = forward(params, x, spec, train=False)
     return jax.nn.sigmoid(logits[:, 0])
 

@@ -69,9 +69,9 @@ class _ResizeAligner:
     the reference cannot run at all."""
 
     def __call__(self, face_bgr_clahe: np.ndarray) -> Optional[np.ndarray]:
-        rgb = face_bgr_clahe[..., ::-1]
-        out = resize_bilinear_u8_cv2(jnp.asarray(rgb), 160, 160)
-        return np.asarray(out).astype(np.float32)
+        from ..utils.host_resize import resize_analysis
+        rgb = np.ascontiguousarray(face_bgr_clahe[..., ::-1])
+        return resize_analysis(rgb, 160, 160).astype(np.float32)
 
 
 class DeepfakeDetector:
@@ -162,9 +162,10 @@ class DeepfakeDetector:
         """Adaptive full/fast scheduling (deepfake_detection.py:504-515)."""
         full = self.frame_count % self.full_forensic_interval == 0
         h, w = self.cfg.forensic.analysis_size
-        resized = resize_bilinear_u8_cv2(jnp.asarray(frame_bgr), h, w)
+        from ..utils.host_resize import resize_analysis
+        resized = resize_analysis(frame_bgr, h, w)
         res, self.forensic_state = self._jit_forensic(
-            resized, self.forensic_state, jnp.asarray(full))
+            jnp.asarray(resized), self.forensic_state, jnp.asarray(full))
         if full:
             keys = ["frequency", "noise", "ela", "edge", "color", "temporal"]
         else:
@@ -187,7 +188,8 @@ class DeepfakeDetector:
             if aligned is None:
                 return None
             probs = classify_batch(self.params, jnp.asarray(aligned)[None],
-                                   self.spec, self.cfg.model_input_size)
+                                   self.spec, self.cfg.model_input_size,
+                                   self.cfg.bf16_inference)
             return float(probs[0])
         except Exception:
             return None

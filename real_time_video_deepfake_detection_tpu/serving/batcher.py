@@ -92,8 +92,15 @@ def device_step(spec: EfficientNetSpec, cfg: DetectorConfig, params,
     forensic_prob = fres["fake_probability"]
 
     x = jax.vmap(lambda f: preprocess_aligned(f, cfg.model_input_size))(faces_raw)
-    logits = forward(params, x, spec, train=False)
-    face_prob = jax.nn.sigmoid(logits[:, 0])
+    if cfg.bf16_inference:
+        p16 = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, params)
+        logits = forward(p16, x.astype(jnp.bfloat16), spec, train=False)
+        face_prob = jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+    else:
+        logits = forward(params, x, spec, train=False)
+        face_prob = jax.nn.sigmoid(logits[:, 0])
     small = (face_hw[:, 0] < cfg.small_face_px) | (face_hw[:, 1] < cfg.small_face_px)
     face_prob = jnp.clip(
         face_prob + jnp.where(small, cfg.small_face_boost, 0.0), 0.0, 1.0)

@@ -164,7 +164,8 @@ class MultiStreamEngine:
         slot = self.slot_for(stream_id)
 
         h, w = self.cfg.forensic.analysis_size
-        frame256 = np.asarray(resize_bilinear_u8_cv2(jnp.asarray(frame_bgr), h, w))
+        from ..utils.host_resize import resize_analysis
+        frame256 = resize_analysis(frame_bgr, h, w)
 
         faces = self.face_detector(frame_bgr)
         face_raw = None
