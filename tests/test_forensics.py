@@ -179,3 +179,31 @@ def test_batched_matches_single():
         np.testing.assert_allclose(
             float(res_b["fake_probability"][i]), float(res_s["fake_probability"]),
             atol=1e-6)
+
+
+def test_recorded_golden_sequence():
+    """Hermetic parity vs RECORDED reference outputs (SURVEY §4 item (a)):
+    24-frame synthetic sequence, per-signal scores and combined probability
+    captured from the reference analyzer into tests/golden_forensics.json."""
+    import json
+    import pathlib
+
+    golden = json.loads(
+        (pathlib.Path(__file__).parent / "golden_forensics.json").read_text())
+    grng = np.random.default_rng(golden["seed"])
+    base = cv2.GaussianBlur(
+        grng.integers(0, 256, (480, 640, 3), np.uint8), (9, 9), 3)
+
+    state = forensic_state_init()
+    step = jax.jit(forensics.analyze_frame)
+    for rec in golden["frames"]:
+        t = rec["t"]
+        frame = base.copy()
+        x = 40 + t * 12
+        cv2.rectangle(frame, (x, 90), (x + 130, 270), (190, 60, 70), -1)
+        frame = frame + grng.integers(0, 6, frame.shape, dtype=np.uint8)
+        resized = resize_bilinear_u8_cv2(frame, 256, 256)
+        res, state = step(resized, state, jnp.asarray(rec["full"]))
+        for k, v in rec["scores"].items():
+            assert abs(float(res[k]) - v) < 1e-6, (t, k)
+        assert abs(float(res["fake_probability"]) - rec["fake_probability"]) < 1e-6, t

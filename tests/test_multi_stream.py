@@ -129,3 +129,38 @@ def test_slot_eviction_lru(engine):
         engine.analyze(_frame(k), f"overflow{k}")
     # newest stream still works; engine didn't crash and capped slots
     assert len(engine.slot_of) == engine.n_slots
+
+
+def test_face_path_batched_parity(engine):
+    """Face-path parity: synthetic skin-tone face frames through the batched
+    engine vs the single-stream server semantics (same params) — identical
+    face probabilities and verdicts."""
+    import cv2
+    from real_time_video_deepfake_detection_tpu.pipeline.detector import (
+        DeepfakeDetector,
+    )
+    engine.reset()
+    det = DeepfakeDetector(DetectorConfig().with_threshold(0.55),
+                           params=engine.params, spec=engine.spec)
+
+    def face_frame(t):
+        f = np.full((240, 320, 3), 120, np.uint8)
+        cv2.ellipse(f, (160 + t, 120), (60, 80), 0, 0, 360, (140, 160, 210), -1)
+        return f
+
+    for t in range(5):
+        frame = face_frame(t)
+        r = engine.analyze(frame, "facepar")
+        # single-stream server semantics (backend_server.py:147-176)
+        det.analyze_frame_forensics(frame)
+        faces = det.face_detector(frame)
+        det.frame_count += 1
+        assert len(faces) >= 1
+        x, y, w, h = faces[0]
+        prob, _, _ = det.analyze_face(frame[y:y + h, x:x + w])
+        det.temporal_tracker.update(prob)
+        assert r["analysis_mode"] == "face+frame", t
+        assert r["face_probability"] == pytest.approx(prob, abs=2e-5), t
+        assert r["confidence_level"] == det.temporal_tracker.get_confidence_level()
+        assert r["face_bbox"] == {"x": int(x), "y": int(y),
+                                  "width": int(w), "height": int(h)}
