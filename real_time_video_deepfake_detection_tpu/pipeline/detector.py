@@ -202,6 +202,29 @@ class DeepfakeDetector:
         except Exception:
             return raw_prob
 
+    def analyze_frequency_domain(self, face_bgr: np.ndarray) -> float:
+        """High-frequency-deficit boost (deepfake_detection.py:457-487 —
+        dead code in the reference serving path, kept for API completeness):
+        masks the central low-frequency square of the FFT magnitude and
+        returns 0.15 when the high-frequency energy ratio is < 0.15."""
+        try:
+            from ..ops.color import bgr_to_gray_u8
+            gray = bgr_to_gray_u8(jnp.asarray(face_bgr)).astype(jnp.float32)
+            mag = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(gray)))
+            h, w = mag.shape
+            ch, cw = h // 2, w // 2
+            m = min(h, w) // 4
+            ys = jnp.arange(h)[:, None]
+            xs = jnp.arange(w)[None, :]
+            center = ((ys >= ch - m) & (ys < ch + m)
+                      & (xs >= cw - m) & (xs < cw + m))
+            high = jnp.sum(jnp.where(center, 0.0, mag))
+            total = jnp.sum(mag)
+            ratio = float(high / (total + 1e-10))
+            return 0.15 if ratio < 0.15 else 0.0
+        except Exception:
+            return 0.0
+
     def apply_heuristics(self, fake_prob: float, face_bgr: np.ndarray) -> float:
         h, w = face_bgr.shape[:2]
         return apply_small_face_heuristic(

@@ -223,10 +223,38 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--weights", default=None, help="path to best_model.pth or orbax dir")
     p.add_argument("--threshold", type=float, default=0.55)
+    p.add_argument("--batched", action="store_true",
+                   help="multi-stream dynamic-batching engine (config 4): "
+                        "clients may send stream_id / X-Stream-Id")
+    p.add_argument("--max-streams", type=int, default=64)
+    p.add_argument("--batch-timeout-ms", type=float, default=5.0)
     args = p.parse_args(argv)
-    det = DeepfakeDetector(
-        DetectorConfig().with_threshold(args.threshold),
-        weights_path=args.weights)
+    cfg = DetectorConfig().with_threshold(args.threshold)
+    if args.batched:
+        from socketserver import ThreadingMixIn
+        from wsgiref.simple_server import WSGIServer, make_server
+        from .multi import MultiStreamEngine, create_batched_app
+
+        scfg = ServerConfig(detection_threshold=args.threshold,
+                            max_streams=args.max_streams,
+                            batch_timeout_ms=args.batch_timeout_ms)
+        params = None
+        if args.weights:
+            from ..utils.torch_convert import load_checkpoint as load_torch
+            params, _ = load_torch(args.weights)
+        engine = MultiStreamEngine(cfg, scfg, params=params)
+        app = create_batched_app(engine, scfg)
+
+        class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+            daemon_threads = True
+
+        httpd = make_server(args.host, args.port, app,
+                            server_class=ThreadingWSGIServer)
+        logger.info(f"Batched deepfake server ({args.max_streams} streams) "
+                    f"on http://{args.host}:{args.port}")
+        httpd.serve_forever()
+        return
+    det = DeepfakeDetector(cfg, weights_path=args.weights)
     serve(args.host, args.port, det)
 
 

@@ -39,8 +39,11 @@ def _is_bn_stat(path) -> bool:
     return any(getattr(p, "key", None) in ("mean", "var") for p in path)
 
 
-def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
-    """AdamW + clip + onecycle + differential backbone LR (train.py:891-927).
+def make_optimizer(cfg: TrainConfig, total_steps: int,
+                   n_blocks: int = 16) -> optax.GradientTransformation:
+    """AdamW + clip + onecycle + differential backbone LR (train.py:891-927)
+    + frozen stem/early blocks (train.py:863-876: stem, _bn0 and the first
+    freeze_frac of MBConv blocks get no updates).
 
     BN running stats are masked out of the optimizer entirely (they update
     through the forward pass).
@@ -49,17 +52,28 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
         transition_steps=max(total_steps, 1), peak_value=cfg.lr,
         pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
 
+    n_frozen = int(cfg.freeze_frac * n_blocks)
+
     def lr_mask(params):
-        # head (fc.*) full LR; backbone 0.1x (reference backbone_lr_mult)
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "head" if (getattr(path[0], "key", None) == "fc")
-            else "backbone", params)
+        def label(path, _):
+            top = getattr(path[0], "key", None)
+            if top == "fc":
+                return "head"        # full LR
+            if top == "stem":
+                return "frozen"      # reference freezes stem + _bn0
+            if top == "blocks":
+                idx = getattr(path[1], "idx", None)
+                if idx is not None and idx < n_frozen:
+                    return "frozen"
+            return "backbone"        # 0.1x LR
+        return jax.tree_util.tree_map_with_path(label, params)
 
     tx = optax.multi_transform(
         {"head": optax.adamw(sched, weight_decay=cfg.weight_decay),
          "backbone": optax.adamw(
              lambda i: sched(i) * cfg.backbone_lr_mult,
-             weight_decay=cfg.weight_decay)},
+             weight_decay=cfg.weight_decay),
+         "frozen": optax.set_to_zero()},
         lr_mask)
     tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
 
@@ -71,8 +85,10 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
 
 
 def init_train_state(params, cfg: TrainConfig, total_steps: int,
-                     seed: int = 0) -> TrainState:
-    tx = make_optimizer(cfg, total_steps)
+                     seed: int = 0,
+                     tx: Optional[optax.GradientTransformation] = None) -> TrainState:
+    if tx is None:
+        tx = make_optimizer(cfg, total_steps)
     return TrainState(
         params=params,
         opt_state=tx.init(params),

@@ -135,7 +135,7 @@ def train(args) -> dict:
 
     steps_per_epoch = max(len(train_loader), 1)
     total_steps = steps_per_epoch * cfg.epochs
-    tx = make_optimizer(cfg, total_steps)
+    tx = make_optimizer(cfg, total_steps, n_blocks=len(spec.blocks))
 
     params = init_params(jax.random.PRNGKey(cfg.seed), spec)
     if args.warm_start and os.path.exists(args.warm_start):
@@ -147,7 +147,7 @@ def train(args) -> dict:
             params = st.params if isinstance(st, TrainState) else st
         print(f"  Warm-started from {args.warm_start}")
 
-    state = init_train_state(params, cfg, total_steps, cfg.seed)
+    state = init_train_state(params, cfg, total_steps, cfg.seed, tx=tx)
     start_epoch = 0
     best = {"f1": -1.0, "acc": 0.0}
     training_log = []

@@ -147,3 +147,35 @@ def test_fused_train_step_learns_something():
     de = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                       state.ema_params["fc"], state2.ema_params["fc"])
     assert 0 < max(jax.tree.leaves(de)) < max(jax.tree.leaves(d))
+
+
+def test_backbone_freezing():
+    """Stem + first 60% of blocks must receive NO updates
+    (reference train.py:863-876)."""
+    spec = EfficientNetSpec.make("b0")
+    cfg = TrainConfig(image_size=44, lr=1e-2, freeze_frac=0.6)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    tx = make_optimizer(cfg, total_steps=4, n_blocks=len(spec.blocks))
+    state = init_train_state(params, cfg, total_steps=4)
+    imgs = jnp.asarray(rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8))
+    labels = jnp.asarray(np.array([0, 1, 0, 1], np.float32))
+    from functools import partial
+    step = jax.jit(partial(fused_train_step, spec=spec, cfg=cfg, tx=tx))
+    state2, _ = step(state, imgs, labels)
+
+    def max_delta(a, b):
+        return max(jax.tree.leaves(jax.tree.map(
+            lambda x, y: float(jnp.abs(x - y).max()), a, b)) or [0.0])
+
+    # stem conv weight frozen (BN stats may still update via forward)
+    assert float(jnp.abs(state2.params["stem"]["conv"]
+                         - params["stem"]["conv"]).max()) == 0.0
+    n_frozen = int(0.6 * len(spec.blocks))
+    assert float(jnp.abs(state2.params["blocks"][0]["depthwise"]
+                         - params["blocks"][0]["depthwise"]).max()) == 0.0
+    assert float(jnp.abs(state2.params["blocks"][n_frozen - 1]["project"]
+                         - params["blocks"][n_frozen - 1]["project"]).max()) == 0.0
+    # unfrozen blocks and head DO move
+    assert float(jnp.abs(state2.params["blocks"][n_frozen]["project"]
+                         - params["blocks"][n_frozen]["project"]).max()) > 0.0
+    assert max_delta(state2.params["fc"], params["fc"]) > 0.0
