@@ -44,10 +44,14 @@ def _interp_matrix(src: int, dst: int) -> np.ndarray:
 
 
 def _kernel(img_ref, ry_ref, rxt_ref, mean_ref, std_ref, out_ref):
-    """Grid: (batch, channel). img block (1,1,H,W) f32 raw 0-255."""
+    """Grid: (batch, channel). img block (1,1,H,W) f32 raw 0-255.
+    HIGHEST precision: the v5e MXU is bf16-native; single-pass bf16 would
+    drift the resample by ~1% (measured)."""
     img = img_ref[0, 0, :, :]
-    tmp = jnp.dot(ry_ref[:], img, preferred_element_type=jnp.float32)
-    res = jnp.dot(tmp, rxt_ref[:], preferred_element_type=jnp.float32)
+    tmp = jnp.dot(ry_ref[:], img, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    res = jnp.dot(tmp, rxt_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     mean = mean_ref[0, 0, 0]
     std = std_ref[0, 0, 0]
     out_ref[0, 0, :, :] = (res * (1.0 / 255.0) - mean) / std

@@ -70,3 +70,18 @@ def test_color_kernel_matches_reference():
     for i, f in enumerate(frames):
         assert scores[i] == pytest.approx(fa._analyze_color(f), abs=1e-6)
         assert int(uniq[i]) == len(np.unique(hues[i]))
+
+
+@pytest.mark.parametrize("shape", [(256, 256), (160, 160), (128, 192)])
+def test_clahe_kernels_match_cv2(shape):
+    import cv2
+    from real_time_video_deepfake_detection_tpu.kernels.clahe import (
+        clahe_u8_pallas,
+    )
+    src = rng.integers(0, 256, shape, dtype=np.uint8)
+    ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(src)
+    out = np.asarray(clahe_u8_pallas(jnp.asarray(src), interpret=True))
+    d = np.abs(ref.astype(int) - out.astype(int))
+    # exact up to float .5-tie rounding in the bilinear weights
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.005
