@@ -38,7 +38,6 @@ from ..core.config import DetectorConfig
 from ..models.efficientnet import EfficientNetSpec, init_params
 from ..ops import forensics
 from ..ops.clahe import clahe_u8_numpy
-from ..ops.resize import resize_bilinear_u8_cv2
 from ..state.forensic_state import ForensicState, forensic_state_init, forensic_state_reset
 from ..state.tracker import TemporalTracker
 from .classify import classify_batch, apply_small_face_heuristic

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from ..core.config import DetectorConfig, ServerConfig
 from ..models.efficientnet import EfficientNetSpec, init_params
-from ..ops.resize import resize_bilinear_u8_cv2
 from ..pipeline.detector import preprocess_face_quality
 from ..pipeline.faces import FaceDetector
 from ..state.tracker import VERDICT_NAMES
@@ -347,6 +346,30 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
                            for k, v in engine.metrics.items()},
                         "active_streams": active_streams,
                         "max_streams": engine.n_slots})
+
+    @app.route("/profile", methods=["POST"])
+    def profile(req):
+        """Capture a jax.profiler device trace for `seconds` (form field,
+        default 2) into /tmp/tpu_profile — the SURVEY §5 tracing subsystem.
+        Additive endpoint; may be unavailable on proxied runtimes."""
+        import threading as _t
+        secs = float(req.form.get("seconds", "2"))
+        outdir = req.form.get("dir", "/tmp/tpu_profile")
+        try:
+            jax.profiler.start_trace(outdir)
+        except Exception as e:
+            return jsonify({"success": False, "error": str(e)}, 500)
+
+        def _stop():
+            time.sleep(min(secs, 30.0))
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+
+        _t.Thread(target=_stop, daemon=True).start()
+        return jsonify({"success": True, "dir": outdir,
+                        "seconds": min(secs, 30.0)})
 
     @app.route("/stats", methods=["GET"])
     def stats(req):
