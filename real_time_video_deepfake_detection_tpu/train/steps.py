@@ -48,8 +48,12 @@ def make_optimizer(cfg: TrainConfig, total_steps: int,
     BN running stats are masked out of the optimizer entirely (they update
     through the forward pass).
     """
+    # optax.cosine_onecycle_schedule divides by the warmup/decay interval
+    # widths; transition_steps <= 2 makes one of them zero -> NaN lr that
+    # silently NaNs every trainable parameter on the first update. Clamp so
+    # smoke-sized runs (1-2 total steps) stay finite.
     sched = optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 1), peak_value=cfg.lr,
+        transition_steps=max(total_steps, 4), peak_value=cfg.lr,
         pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
 
     n_frozen = int(cfg.freeze_frac * n_blocks)
@@ -179,15 +183,21 @@ def fused_train_step(state: TrainState, imgs_u8: jax.Array, labels: jax.Array,
 
 
 def make_sharded_train_step(mesh, spec: EfficientNetSpec, cfg: TrainConfig,
-                            tx: optax.GradientTransformation):
+                            tx: optax.GradientTransformation,
+                            step=train_step):
     """jit the step over the mesh: batch on the data axis, state replicated.
-    XLA turns the batch-sharded gradient reduction into an ICI all-reduce."""
+    XLA turns the batch-sharded gradient reduction into an ICI all-reduce.
+
+    `step` is any (state, images, labels, *, spec, cfg, tx) step function —
+    `train_step` (pre-normalized f32 images) or `fused_train_step` (raw u8
+    batches with on-device augmentation, the trainer CLI's hot path).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
     return jax.jit(
-        partial(train_step, spec=spec, cfg=cfg, tx=tx),
+        partial(step, spec=spec, cfg=cfg, tx=tx),
         in_shardings=(repl, data, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,),

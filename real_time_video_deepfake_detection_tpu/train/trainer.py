@@ -31,7 +31,11 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .data import BatchLoader, DeepfakeDataset
 from .augment import eval_preprocess_batch
 from .losses import focal_loss_with_smoothing
-from .steps import TrainState, fused_train_step, init_train_state, make_optimizer
+from ..parallel.mesh import batch_sharded, make_mesh, replicated
+from .steps import (
+    TrainState, fused_train_step, init_train_state, make_optimizer,
+    make_sharded_train_step,
+)
 
 _stop_requested = False
 
@@ -160,8 +164,29 @@ def train(args) -> dict:
         print(f"  Resumed from epoch {meta['epoch']} "
               f"(best F1 {best['f1']:.4f})")
 
-    step_fn = jax.jit(partial(fused_train_step, spec=spec, cfg=cfg, tx=tx),
-                      donate_argnums=(0,))
+    # Data-parallel over a ("data",) mesh when more than one device is
+    # usable: params/opt state replicated, batch sharded on the data axis,
+    # grad all-reduce inserted by XLA over ICI (SURVEY.md §2.3). Falls back
+    # to the largest device count that divides the batch size.
+    n_dev = getattr(args, "num_devices", 0) or len(jax.devices())
+    n_dev = min(n_dev, len(jax.devices()))
+    while cfg.batch_size % n_dev:
+        n_dev -= 1
+    if n_dev > 1:
+        mesh = make_mesh(n_dev)
+        step_fn = make_sharded_train_step(mesh, spec, cfg, tx,
+                                          step=fused_train_step)
+        state = jax.device_put(state, replicated(mesh))
+        data_sharding = batch_sharded(mesh)
+
+        def to_device(a):
+            return jax.device_put(jnp.asarray(a), data_sharding)
+        print(f"  Data-parallel over {n_dev} devices "
+              f"(per-device batch {cfg.batch_size // n_dev})")
+    else:
+        step_fn = jax.jit(partial(fused_train_step, spec=spec, cfg=cfg, tx=tx),
+                          donate_argnums=(0,))
+        to_device = jnp.asarray
 
     epochs_no_improve = 0
     for epoch in range(start_epoch, cfg.epochs):
@@ -170,7 +195,7 @@ def train(args) -> dict:
         for imgs, labels in train_loader:
             if _stop_requested:
                 break
-            state, metrics = step_fn(state, jnp.asarray(imgs), jnp.asarray(labels))
+            state, metrics = step_fn(state, to_device(imgs), to_device(labels))
             losses.append(float(metrics["loss"]))
             accs.append(float(metrics["accuracy"]))
             seen += len(labels)
@@ -229,6 +254,8 @@ def main(argv=None):
     p.add_argument("--warm-start", default=None,
                    help="best_model.pth (torch) or .npz to initialize from")
     p.add_argument("--output-dir", default="weights")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="devices for data-parallel training (0 = all visible)")
     args = p.parse_args(argv)
     return train(args)
 

@@ -17,6 +17,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# CPU jit compiles (B0 forward/train at several shapes, the serving engine).
+# Caching them makes re-runs minutes faster. /tmp is per-machine scratch.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass  # older jax without the flags
+
 import pathlib
 import sys
 

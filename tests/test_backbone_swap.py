@@ -75,6 +75,7 @@ def test_temporal_head_mask_invariance():
     np.testing.assert_allclose(float(dense[0]), float(padded[0]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_clip_state_streaming_matches_dense():
     spec = th.TemporalHeadSpec(feature_dim=16, dim=32, depth=1, heads=2, window=8)
     params = th.init_params(jax.random.PRNGKey(1), spec)

@@ -79,6 +79,7 @@ def test_checkpoint_key_schema_matches_reference():
     assert "net._fc.2.running_mean" in sd
 
 
+@pytest.mark.slow
 def test_train_forward_runs():
     params = init_params(jax.random.PRNGKey(0), SPEC)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 224, 224, 3))

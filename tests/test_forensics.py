@@ -87,6 +87,7 @@ def test_canny_bit_exact(blur):
     np.testing.assert_array_equal(np.asarray(canny(g)), ref)
 
 
+@pytest.mark.slow
 def test_jpeg_roundtrip_bit_exact():
     for img in [_rand_img(),
                 cv2.GaussianBlur(_rand_img(), (21, 21), 8),
@@ -166,6 +167,7 @@ def test_sequence_parity_vs_reference():
         assert abs(float(r_jax["fake_probability"]) - r_ref["fake_probability"]) < 1e-6, t
 
 
+@pytest.mark.slow
 def test_batched_matches_single():
     from real_time_video_deepfake_detection_tpu.state.forensic_state import (
         forensic_state_init_batch,

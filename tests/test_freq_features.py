@@ -55,6 +55,7 @@ def test_freq_features_sensitive_to_content():
     assert np.abs(a - b).mean() > 0.01
 
 
+@pytest.mark.slow
 def test_gradcam_shape_and_range():
     from real_time_video_deepfake_detection_tpu.models.efficientnet import (
         EfficientNetSpec, init_params,

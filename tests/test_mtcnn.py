@@ -72,6 +72,7 @@ def test_crop_resize_identity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_aligner_flow(params):
     """End-to-end cascade flow with permissive thresholds: must return a
     160x160x3 raw-range RGB array."""
@@ -84,6 +85,7 @@ def test_aligner_flow(params):
     assert 0 <= out.min() and out.max() <= 255.0
 
 
+@pytest.mark.slow
 def test_aligner_none_when_no_face(params):
     al = M.MTCNNAligner(params, thresholds=(1.1, 1.1, 1.1))  # impossible
     face = rng.integers(0, 256, (96, 80, 3), dtype=np.uint8)

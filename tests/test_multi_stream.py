@@ -7,6 +7,8 @@ import time
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy engine/mesh compiles
 import cv2
 import jax
 

@@ -72,6 +72,7 @@ def test_color_kernel_matches_reference():
         assert int(uniq[i]) == len(np.unique(hues[i]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(256, 256), (160, 160), (128, 192)])
 def test_clahe_kernels_match_cv2(shape):
     import cv2

@@ -179,6 +179,7 @@ def test_randomized_against_oracle():
         assert t.detect_anomalies() == pytest.approx(o.anomaly(), abs=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_matches_single():
     """A vmapped batch of streams must evolve identically to independent
     single-stream trackers (padding slots masked via valid=False)."""

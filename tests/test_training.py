@@ -73,6 +73,7 @@ def test_auc_score():
     assert auc_score(labels, np.array([0.5, 0.5, 0.5, 0.5])) == 0.5
 
 
+@pytest.mark.slow
 def test_augment_batch_shapes_and_range():
     imgs = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
     out = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs), size=44)
@@ -126,6 +127,7 @@ def test_checkpoint_roundtrip_with_rng(tmp_path):
     assert np.random.random() == expected_np
 
 
+@pytest.mark.slow
 def test_fused_train_step_learns_something():
     spec = EfficientNetSpec.make("b0")
     cfg = TrainConfig(image_size=44, batch_size=8, lr=1e-3)
@@ -149,6 +151,7 @@ def test_fused_train_step_learns_something():
     assert 0 < max(jax.tree.leaves(de)) < max(jax.tree.leaves(d))
 
 
+@pytest.mark.slow
 def test_backbone_freezing():
     """Stem + first 60% of blocks must receive NO updates
     (reference train.py:863-876)."""
