@@ -6,20 +6,32 @@ image_size 160). This re-implements the three cascades and the detect flow
 TPU-first:
 
   - static image pyramid (scales derived from the static input size, factor
-    0.709, minsize 20)
+    0.709, minsize 20); pyramid resampling is facenet's 'area' interpolation
+    (== adaptive average pooling) expressed as two static matmuls — MXU work
+    instead of a gather
   - fixed-capacity box lists (padded top-K + masks) instead of the
     reference's dynamic box arrays — XLA-friendly shapes throughout
   - NMS as masked O(K^2) suppression (same fixpoint as the stack walk)
-  - crop+resize via bilinear gather grids
+  - R/O-Net patch extraction reproduces facenet's pad() integer crop +
+    'area' resample via box-dependent weight matrices built inside jit
+    (dynamic boxes, static shapes)
+  - the final 160x160 crop reproduces PIL Image.BILINEAR (antialiased
+    triangle filter, normalized over clipped taps) — the reference passes a
+    PIL image so extract_face takes the PIL path
+    (facenet crop_resize / deepfake_detection.py:376-383)
+
+Regression/NMS ordering matches facenet detect_face exactly: stage 1
+regresses AFTER the cross-scale NMS (no +1 width), stages 2/3 use bbreg's
+w = x2-x1+1 convention, O-Net regresses before its 'Min'-IoU NMS.
 
 Weight source: facenet-pytorch's pnet.pt/rnet.pt/onet.pt state dicts
 (convert_facenet_state_dict). Conv weights OIHW->HWIO; the dense layers
 keep facenet's matlab-order permute(0,3,2,1)+flatten quirk.
 
-KNOWN DEVIATION (documented): patch extraction uses bilinear sampling where
-facenet uses torch 'area' interpolation; exact-area resampling is planned
-with the integral-image path. Only affects environments that supply MTCNN
-weights (none ship with either repo).
+Remaining documented deviation: compute is float32 throughout; PIL's uint8
+resize quantizes coefficients and output to 8 bits, so the aligned crop can
+differ from the reference by <=1 grey level per pixel (tests/test_mtcnn.py
+asserts box/score parity at 1e-3 and crop parity at 1.0/255).
 """
 
 from __future__ import annotations
@@ -263,22 +275,117 @@ def _rerec(boxes: jax.Array) -> jax.Array:
     return jnp.stack([cx - l / 2, cy - l / 2, cx + l / 2, cy + l / 2], axis=1)
 
 
+def _bbreg(boxes: jax.Array, reg: jax.Array) -> jax.Array:
+    """facenet bbreg: regression scaled by w = x2-x1+1 (note the +1 —
+    stage 1's inline regression in detect_face uses no +1; stages 2/3 use
+    this function)."""
+    w = boxes[:, 2] - boxes[:, 0] + 1.0
+    h = boxes[:, 3] - boxes[:, 1] + 1.0
+    return jnp.stack([boxes[:, 0] + reg[:, 0] * w,
+                      boxes[:, 1] + reg[:, 1] * h,
+                      boxes[:, 2] + reg[:, 2] * w,
+                      boxes[:, 3] + reg[:, 3] * h], axis=1)
+
+
+# ------------------------------------------------- resampling as matmuls
+
+def _adaptive_weights_np(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) row-stochastic matrix implementing torch 'area'
+    interpolation (== adaptive_avg_pool): output i averages input
+    [floor(i*n_in/n_out), ceil((i+1)*n_in/n_out))."""
+    W = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        s = (i * n_in) // n_out
+        e = -((-(i + 1) * n_in) // n_out)
+        W[i, s:e] = 1.0 / (e - s)
+    return W
+
+
+def _area_resize_static(x: jax.Array, sh: int, sw: int) -> jax.Array:
+    """(H,W,C) -> (sh,sw,C) area resize with static sizes: two matmuls (MXU
+    work) instead of a gather."""
+    Wh = jnp.asarray(_adaptive_weights_np(x.shape[0], sh))
+    Ww = jnp.asarray(_adaptive_weights_np(x.shape[1], sw))
+    y = jnp.einsum("oh,hwc->owc", Wh, x)
+    return jnp.einsum("pw,owc->opc", Ww, y)
+
+
+def _adaptive_weights_dyn(start, length, n_out: int, n_src: int) -> jax.Array:
+    """Area-interpolation weights for a crop [start, start+length) of a
+    static-size axis, with start/length dynamic int32 scalars. Returns
+    (n_out, n_src)."""
+    i = jnp.arange(n_out, dtype=jnp.int32)
+    L = jnp.maximum(length, 1)
+    s = (i * L) // n_out
+    e = ((i + 1) * L + n_out - 1) // n_out
+    j = jnp.arange(n_src, dtype=jnp.int32)
+    inside = (j[None, :] >= start + s[:, None]) & (j[None, :] < start + e[:, None])
+    return inside.astype(jnp.float32) / jnp.maximum(e - s, 1)[:, None]
+
+
+def _pil_weights_dyn(start, length, n_out: int, n_src: int) -> jax.Array:
+    """PIL Image.BILINEAR resize weights for a crop [start, start+length):
+    triangle filter with support scaled by the downscale factor, taps
+    clipped to the crop and renormalized (PIL precompute_coeffs). start and
+    length are dynamic int32 scalars; shapes are static."""
+    L = jnp.maximum(length, 1).astype(jnp.float32)
+    scale = L / n_out
+    support = jnp.maximum(scale, 1.0)
+    centers = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * scale
+    j = jnp.arange(n_src, dtype=jnp.float32)
+    rel = j[None, :] - start.astype(jnp.float32) + 0.5   # crop-frame centers
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(rel - centers[:, None]) / support)
+    inside = (j[None, :] >= start) & (j[None, :] < start + jnp.maximum(length, 1))
+    w = w * inside
+    return w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+
+
+def _extract_patch_area(img: jax.Array, box: jax.Array, out: int) -> jax.Array:
+    """facenet pad() + integer crop + 'area' resample to (out,out,3).
+    box is float (x1,y1,x2,y2); img is the full static-size image."""
+    h, w = img.shape[0], img.shape[1]
+    b = jnp.trunc(box).astype(jnp.int32)
+    x = jnp.maximum(b[0], 1)
+    y = jnp.maximum(b[1], 1)
+    ex = jnp.minimum(b[2], w)
+    ey = jnp.minimum(b[3], h)
+    Wv = _adaptive_weights_dyn(y - 1, ey - (y - 1), out, h)
+    Wu = _adaptive_weights_dyn(x - 1, ex - (x - 1), out, w)
+    patch = jnp.einsum("oh,hwc->owc", Wv, img)
+    return jnp.einsum("pw,owc->opc", Wu, patch)
+
+
+def _extract_face_pil(img: jax.Array, box: jax.Array, out: int) -> jax.Array:
+    """facenet extract_face with margin=0 on a PIL image: int-clipped crop +
+    PIL BILINEAR resize to (out,out,3)."""
+    h, w = img.shape[0], img.shape[1]
+    x1 = jnp.trunc(jnp.maximum(box[0], 0)).astype(jnp.int32)
+    y1 = jnp.trunc(jnp.maximum(box[1], 0)).astype(jnp.int32)
+    x2 = jnp.trunc(jnp.minimum(box[2], w)).astype(jnp.int32)
+    y2 = jnp.trunc(jnp.minimum(box[3], h)).astype(jnp.int32)
+    Wv = _pil_weights_dyn(y1, y2 - y1, out, h)
+    Wu = _pil_weights_dyn(x1, x2 - x1, out, w)
+    face = jnp.einsum("oh,hwc->owc", Wv, img)
+    return jnp.einsum("pw,owc->opc", Wu, face)
+
+
 class MTCNNAligner:
     """Reference-compatible aligner: BGR face crop -> aligned 160x160 RGB
     float (raw 0-255), or None when no face is found inside the crop
-    (deepfake_detection.py:376-383 contract). Compiles one program per input
-    size bucket (crop sizes rounded up to multiples of 32)."""
+    (deepfake_detection.py:376-383 contract). Compiles one program per exact
+    input size (LRU-bounded), matching facenet's eager-size behavior."""
 
     MAX_P, MAX_R, MAX_O = 256, 64, 16
 
     def __init__(self, params: Dict[str, Dict], image_size: int = 160,
                  minsize: int = 20, thresholds=(0.6, 0.7, 0.7),
-                 factor: float = 0.709):
+                 factor: float = 0.709, max_compiled: int = 64):
         self.params = params
         self.image_size = image_size
         self.minsize = minsize
         self.thresholds = thresholds
         self.factor = factor
+        self.max_compiled = max_compiled
         self._compiled = {}
 
     @classmethod
@@ -315,107 +422,109 @@ class MTCNNAligner:
         return scales
 
     def _detect_fn(self, h: int, w: int):
+        """Compile the full cascade for an exact (h, w) input. Mirrors
+        facenet-pytorch detect_face stage by stage (see module docstring for
+        the resampling/regression conventions)."""
         scales = self._scales(h, w)
         params = self.params
         t1, t2, t3 = self.thresholds
         MAX_P, MAX_R, MAX_O = self.MAX_P, self.MAX_R, self.MAX_O
 
         def run(img_rgb: jax.Array):
-            x = _normalize(img_rgb.astype(jnp.float32))
+            img = img_rgb.astype(jnp.float32)
 
-            all_boxes = []
-            all_scores = []
+            # ---- P-Net over the area-interpolated pyramid
+            all_boxes, all_scores, all_regs = [], [], []
             for scale in scales:
-                sh, sw = max(int(h * scale + 1e-6), 12), max(int(w * scale + 1e-6), 12)
-                scaled = _crop_resize_bilinear(
-                    x, jnp.asarray([0.0, 0.0, float(w), float(h)]), max(sh, sw))
-                scaled = scaled[:sh, :sw]
+                sh, sw = int(h * scale + 1), int(w * scale + 1)
+                scaled = _normalize(_area_resize_static(img, sh, sw))
                 probs, reg = pnet_forward(params["pnet"], scaled[None])
                 p = probs[0, :, :, 1]
-                r = reg[0]
                 gh, gw = p.shape
                 k = min(MAX_P, gh * gw)
-                flat_p = p.reshape(-1)
-                vals, idx = jax.lax.top_k(flat_p, k)
+                vals, idx = jax.lax.top_k(p.reshape(-1), k)
                 iy = idx // gw
                 ix = idx % gw
-                # generateBoundingBox: stride 2, cell 12
+                # generateBoundingBox: stride 2, cell 12, raw (unregressed)
                 q1x = jnp.floor((2.0 * ix + 1.0) / scale)
                 q1y = jnp.floor((2.0 * iy + 1.0) / scale)
                 q2x = jnp.floor((2.0 * ix + 12.0) / scale)
                 q2y = jnp.floor((2.0 * iy + 12.0) / scale)
-                rr = r.reshape(-1, 4)[idx]
-                bw_ = q2x - q1x
-                bh_ = q2y - q1y
-                boxes = jnp.stack([q1x + rr[:, 0] * bw_, q1y + rr[:, 1] * bh_,
-                                   q2x + rr[:, 2] * bw_, q2y + rr[:, 3] * bh_], axis=1)
+                boxes = jnp.stack([q1x, q1y, q2x, q2y], axis=1)
+                rr = reg[0].reshape(-1, 4)[idx]
                 valid = vals >= t1
-                keep = _nms_mask(boxes, vals, valid, 0.5)
+                keep = _nms_mask(boxes, vals, valid, 0.5)   # per-scale NMS
                 pad = MAX_P - k
                 all_boxes.append(jnp.pad(boxes, ((0, pad), (0, 0))))
                 all_scores.append(jnp.pad(jnp.where(keep, vals, 0.0), (0, pad)))
+                all_regs.append(jnp.pad(rr, ((0, pad), (0, 0))))
 
             boxes = jnp.concatenate(all_boxes)
             scores = jnp.concatenate(all_scores)
+            regs = jnp.concatenate(all_regs)
             vals, idx = jax.lax.top_k(scores, MAX_P)
-            boxes = boxes[idx]
-            keep = _nms_mask(boxes, vals, vals > 0, 0.7)
+            boxes, regs = boxes[idx], regs[idx]
+            keep = _nms_mask(boxes, vals, vals > 0, 0.7)    # cross-scale NMS
             scores = jnp.where(keep, vals, 0.0)
+            # stage-1 regression AFTER the NMS, inline convention (no +1)
+            regw = boxes[:, 2] - boxes[:, 0]
+            regh = boxes[:, 3] - boxes[:, 1]
+            boxes = jnp.stack([boxes[:, 0] + regs[:, 0] * regw,
+                               boxes[:, 1] + regs[:, 1] * regh,
+                               boxes[:, 2] + regs[:, 2] * regw,
+                               boxes[:, 3] + regs[:, 3] * regh], axis=1)
             boxes = _rerec(boxes)
 
             # ---- R-Net stage
             vals, idx = jax.lax.top_k(scores, MAX_R)
             rboxes = boxes[idx]
-            patches = jax.vmap(lambda b: _crop_resize_bilinear(x, b, 24))(rboxes)
-            probs, reg = rnet_forward(params["rnet"], patches)
-            rscores = jnp.where((probs[:, 1] >= t2) & (vals > 0), probs[:, 1], 0.0)
-            keep = _nms_mask(rboxes, rscores, rscores > 0, 0.7)
+            patches = jax.vmap(lambda b: _extract_patch_area(img, b, 24))(rboxes)
+            probs, reg = rnet_forward(params["rnet"], _normalize(patches))
+            rscores = jnp.where((probs[:, 1] > t2) & (vals > 0), probs[:, 1], 0.0)
+            keep = _nms_mask(rboxes, rscores, rscores > 0, 0.7)  # raw boxes
             rscores = jnp.where(keep, rscores, 0.0)
-            bw_ = rboxes[:, 2] - rboxes[:, 0]
-            bh_ = rboxes[:, 3] - rboxes[:, 1]
-            rboxes = jnp.stack([
-                rboxes[:, 0] + reg[:, 0] * bw_, rboxes[:, 1] + reg[:, 1] * bh_,
-                rboxes[:, 2] + reg[:, 2] * bw_, rboxes[:, 3] + reg[:, 3] * bh_],
-                axis=1)
+            rboxes = _bbreg(rboxes, reg)                    # +1 convention
             rboxes = _rerec(rboxes)
 
-            # ---- O-Net stage
+            # ---- O-Net stage (regression BEFORE the 'Min'-IoU NMS)
             vals, idx = jax.lax.top_k(rscores, MAX_O)
             oboxes = rboxes[idx]
-            patches = jax.vmap(lambda b: _crop_resize_bilinear(x, b, 48))(oboxes)
-            probs, reg, _pts = onet_forward(params["onet"], patches)
-            oscores = jnp.where((probs[:, 1] >= t3) & (vals > 0), probs[:, 1], 0.0)
-            bw_ = oboxes[:, 2] - oboxes[:, 0]
-            bh_ = oboxes[:, 3] - oboxes[:, 1]
-            oboxes = jnp.stack([
-                oboxes[:, 0] + reg[:, 0] * bw_, oboxes[:, 1] + reg[:, 1] * bh_,
-                oboxes[:, 2] + reg[:, 2] * bw_, oboxes[:, 3] + reg[:, 3] * bh_],
-                axis=1)
+            patches = jax.vmap(lambda b: _extract_patch_area(img, b, 48))(oboxes)
+            probs, reg, _pts = onet_forward(params["onet"], _normalize(patches))
+            oscores = jnp.where((probs[:, 1] > t3) & (vals > 0), probs[:, 1], 0.0)
+            oboxes = _bbreg(oboxes, reg)
             keep = _nms_mask(oboxes, oscores, oscores > 0, 0.7, method_min=True)
             oscores = jnp.where(keep, oscores, 0.0)
 
-            # highest-probability face (select_largest=False)
+            # highest-probability face (select_largest=False -> the NMS
+            # order is score-descending, facenet takes boxes[0])
             best = jnp.argmax(oscores)
             best_score = oscores[best]
             best_box = oboxes[best]
-            face = _crop_resize_bilinear(
-                img_rgb.astype(jnp.float32), best_box, self.image_size)
-            return face, best_score
+            face = _extract_face_pil(img, best_box, self.image_size)
+            return face, best_score, best_box
 
         return jax.jit(run)
 
-    def __call__(self, face_bgr: np.ndarray) -> Optional[np.ndarray]:
+    def detect(self, face_bgr: np.ndarray):
+        """Full detect: (aligned 160x160x3 RGB f32 raw-range, score, box) or
+        (None, 0.0, None). Compiles one program per exact input size (the
+        reference's torch path is eager so any size works; an LRU of
+        compiled sizes bounds memory)."""
         h, w = face_bgr.shape[:2]
-        if h < 12 or w < 12:
-            return None
-        bh = min(-(-h // 32) * 32, 512)
-        bw = min(-(-w // 32) * 32, 512)
-        key = (bh, bw)
+        if min(h, w) < self.minsize or not self._scales(h, w):
+            return None, 0.0, None
+        key = (h, w)
         if key not in self._compiled:
-            self._compiled[key] = self._detect_fn(bh, bw)
-        canvas = np.zeros((bh, bw, 3), np.float32)
-        canvas[:h, :w] = face_bgr[..., ::-1].astype(np.float32)
-        face, score = self._compiled[key](jnp.asarray(canvas))
+            if len(self._compiled) >= self.max_compiled:
+                self._compiled.pop(next(iter(self._compiled)))
+            self._compiled[key] = self._detect_fn(h, w)
+        rgb = jnp.asarray(face_bgr[..., ::-1].astype(np.float32))
+        face, score, box = self._compiled[key](rgb)
         if float(score) <= 0.0:
-            return None
-        return np.asarray(face)
+            return None, 0.0, None
+        return np.asarray(face), float(score), np.asarray(box)
+
+    def __call__(self, face_bgr: np.ndarray) -> Optional[np.ndarray]:
+        face, _score, _box = self.detect(face_bgr)
+        return face

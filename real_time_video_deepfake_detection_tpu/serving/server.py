@@ -228,8 +228,16 @@ def main(argv=None):
                         "clients may send stream_id / X-Stream-Id")
     p.add_argument("--max-streams", type=int, default=64)
     p.add_argument("--batch-timeout-ms", type=float, default=5.0)
+    p.add_argument("--mtcnn-weights", default=None,
+                   help="facenet-pytorch pnet/rnet/onet weights (dir or .pt); "
+                        "enables the JAX MTCNN aligner in the face path "
+                        "(deepfake_detection.py:24-28)")
     args = p.parse_args(argv)
     cfg = DetectorConfig().with_threshold(args.threshold)
+    aligner = None
+    if args.mtcnn_weights:
+        from ..models.mtcnn import MTCNNAligner
+        aligner = MTCNNAligner.from_weights(args.mtcnn_weights)
     if args.batched:
         from socketserver import ThreadingMixIn
         from wsgiref.simple_server import WSGIServer, make_server
@@ -242,7 +250,7 @@ def main(argv=None):
         if args.weights:
             from ..utils.torch_convert import load_checkpoint as load_torch
             params, _ = load_torch(args.weights)
-        engine = MultiStreamEngine(cfg, scfg, params=params)
+        engine = MultiStreamEngine(cfg, scfg, params=params, aligner=aligner)
         app = create_batched_app(engine, scfg)
 
         class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
@@ -254,7 +262,8 @@ def main(argv=None):
                     f"on http://{args.host}:{args.port}")
         httpd.serve_forever()
         return
-    det = DeepfakeDetector(cfg, weights_path=args.weights)
+    det = DeepfakeDetector(cfg, weights_path=args.weights,
+                           mtcnn_weights_path=args.mtcnn_weights)
     serve(args.host, args.port, det)
 
 
