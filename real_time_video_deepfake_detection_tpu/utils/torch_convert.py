@@ -137,6 +137,103 @@ def export_state_dict(params, spec: EfficientNetSpec) -> Dict[str, np.ndarray]:
     return sd
 
 
+def build_torch_reference_predictor(sd: Mapping[str, np.ndarray],
+                                    spec: EfficientNetSpec | None = None):
+    """Build the reference's torch inference path from a reference-naming
+    state dict: transformers' EfficientNet (an independent TF-faithful torch
+    implementation standing in for efficientnet_pytorch, which is not
+    installed here) + the custom 1280->512->256->1 head (model.py:48-61),
+    with the reference's preprocessing (deepfake_detection.py:382-398:
+    bilinear resize 224, /255, ImageNet normalize, sigmoid).
+
+    Returns predict(aligned_rgb_160: (160,160,3) f32 raw 0-255) -> float.
+    Used by the end-to-end weight drill to check checkpoint->server->JSON
+    probabilities against the torch-computed path.
+    """
+    import torch
+    from transformers import EfficientNetConfig
+    from transformers.models.efficientnet.modeling_efficientnet import (
+        EfficientNetModel,
+    )
+
+    spec = spec or EfficientNetSpec.make("b0")
+    cfg = EfficientNetConfig(
+        width_coefficient=1.0, depth_coefficient=1.0, image_size=224,
+        hidden_dim=spec.head_filters, pooling_type="mean", hidden_act="swish")
+    tm = EfficientNetModel(cfg).eval()
+
+    mapping = {"embeddings.convolution.weight": "net._conv_stem.weight"}
+    for a in ("weight", "bias", "running_mean", "running_var"):
+        mapping[f"embeddings.batchnorm.{a}"] = f"net._bn0.{a}"
+    for i, blk in enumerate(spec.blocks):
+        p, q = f"encoder.blocks.{i}", f"net._blocks.{i}"
+        if blk.expand != 1:
+            mapping[f"{p}.expansion.expand_conv.weight"] = f"{q}._expand_conv.weight"
+            for a in ("weight", "bias", "running_mean", "running_var"):
+                mapping[f"{p}.expansion.expand_bn.{a}"] = f"{q}._bn0.{a}"
+        mapping[f"{p}.depthwise_conv.depthwise_conv.weight"] = \
+            f"{q}._depthwise_conv.weight"
+        for a in ("weight", "bias", "running_mean", "running_var"):
+            mapping[f"{p}.depthwise_conv.depthwise_norm.{a}"] = f"{q}._bn1.{a}"
+        mapping[f"{p}.squeeze_excite.reduce.weight"] = f"{q}._se_reduce.weight"
+        mapping[f"{p}.squeeze_excite.reduce.bias"] = f"{q}._se_reduce.bias"
+        mapping[f"{p}.squeeze_excite.expand.weight"] = f"{q}._se_expand.weight"
+        mapping[f"{p}.squeeze_excite.expand.bias"] = f"{q}._se_expand.bias"
+        mapping[f"{p}.projection.project_conv.weight"] = f"{q}._project_conv.weight"
+        for a in ("weight", "bias", "running_mean", "running_var"):
+            mapping[f"{p}.projection.project_bn.{a}"] = f"{q}._bn2.{a}"
+    mapping["encoder.top_conv.weight"] = "net._conv_head.weight"
+    for a in ("weight", "bias", "running_mean", "running_var"):
+        mapping[f"encoder.top_bn.{a}"] = f"net._bn1.{a}"
+
+    new_sd = {}
+    for tk, v in tm.state_dict().items():
+        if tk.endswith("num_batches_tracked"):
+            new_sd[tk] = v
+            continue
+        new_sd[tk] = torch.from_numpy(np.ascontiguousarray(sd[mapping[tk]]))
+    tm.load_state_dict(new_sd)
+
+    def lin(prefix):
+        m = torch.nn.Linear(sd[f"{prefix}.weight"].shape[1],
+                            sd[f"{prefix}.weight"].shape[0])
+        m.weight.data = torch.from_numpy(np.ascontiguousarray(sd[f"{prefix}.weight"]))
+        m.bias.data = torch.from_numpy(np.ascontiguousarray(sd[f"{prefix}.bias"]))
+        return m
+
+    def bn1d(prefix):
+        n = sd[f"{prefix}.weight"].shape[0]
+        m = torch.nn.BatchNorm1d(n)
+        m.weight.data = torch.from_numpy(np.ascontiguousarray(sd[f"{prefix}.weight"]))
+        m.bias.data = torch.from_numpy(np.ascontiguousarray(sd[f"{prefix}.bias"]))
+        m.running_mean.data = torch.from_numpy(
+            np.ascontiguousarray(sd[f"{prefix}.running_mean"]))
+        m.running_var.data = torch.from_numpy(
+            np.ascontiguousarray(sd[f"{prefix}.running_var"]))
+        return m
+
+    head = torch.nn.Sequential(
+        lin("net._fc.1"), bn1d("net._fc.2"), torch.nn.ReLU(),
+        lin("net._fc.5"), bn1d("net._fc.6"), torch.nn.ReLU(),
+        lin("net._fc.9")).eval()
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def predict(aligned_rgb_160: np.ndarray) -> float:
+        x = torch.from_numpy(np.ascontiguousarray(aligned_rgb_160))
+        x = x.permute(2, 0, 1).unsqueeze(0)
+        x = torch.nn.functional.interpolate(
+            x, (224, 224), mode="bilinear", align_corners=False)
+        x = (x / 255.0 - mean) / std
+        with torch.no_grad():
+            feats = tm(x).pooler_output
+            logit = head(feats)
+        return float(torch.sigmoid(logit[0, 0]))
+
+    return predict
+
+
 def make_reference_shaped_state_dict(spec: EfficientNetSpec, seed: int = 0):
     """Synthesize a random torch-naming state dict with the exact key/shape
     schema of the reference checkpoint — used to test the converter when the
