@@ -177,6 +177,261 @@ void resize_u8_cv2(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
   }
 }
 
+// ------------------------------------------------- heuristic face detect
+//
+// Exact port of models/heuristic_face.py detect_heuristic: YCrCb skin mask
+// (float32 arithmetic in numpy's op order), 2/98 coordinate percentiles
+// with numpy 'linear' interpolation, density/aspect gates.
+
+bool detect_heuristic_native(const uint8_t* bgr, int h, int w, int box[4]) {
+  if (h < 40 || w < 40) return false;
+  std::vector<uint8_t> mask(static_cast<size_t>(h) * w);
+  std::vector<int64_t> xhist(w, 0), yhist(h, 0);
+  int64_t count = 0;
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = bgr + static_cast<size_t>(y) * w * 3;
+    for (int x = 0; x < w; ++x) {
+      const float b = row[x * 3 + 0];
+      const float g = row[x * 3 + 1];
+      const float r = row[x * 3 + 2];
+      const float yy = 0.299f * r + 0.587f * g + 0.114f * b;
+      const float cr = (r - yy) * 0.713f + 128.0f;
+      const float cb = (b - yy) * 0.564f + 128.0f;
+      const bool skin = cr >= 133.0f && cr <= 173.0f && cb >= 77.0f &&
+                        cb <= 127.0f;
+      mask[static_cast<size_t>(y) * w + x] = skin;
+      if (skin) {
+        ++count;
+        ++xhist[x];
+        ++yhist[y];
+      }
+    }
+  }
+  const double frac = static_cast<double>(count) / (static_cast<double>(h) * w);
+  if (frac < 0.04) return false;
+
+  // k-th order statistic of the coordinate multiset via histogram walk
+  auto order_stat = [](const std::vector<int64_t>& hist, int64_t k) {
+    int64_t seen = 0;
+    for (size_t v = 0; v < hist.size(); ++v) {
+      seen += hist[v];
+      if (seen > k) return static_cast<int64_t>(v);
+    }
+    return static_cast<int64_t>(hist.size() - 1);
+  };
+  auto percentile = [&](const std::vector<int64_t>& hist, double q) {
+    // numpy 'linear': pos = (n-1)*q/100, val = a[lo] + (a[hi]-a[lo])*frac
+    const double pos = static_cast<double>(count - 1) * q / 100.0;
+    const int64_t lo = static_cast<int64_t>(std::floor(pos));
+    const double f = pos - static_cast<double>(lo);
+    const int64_t a = order_stat(hist, lo);
+    const int64_t b = f > 0.0 ? order_stat(hist, lo + 1) : a;
+    return static_cast<double>(a) + (static_cast<double>(b) - a) * f;
+  };
+  const int x1 = static_cast<int>(percentile(xhist, 2.0));
+  const int x2 = static_cast<int>(percentile(xhist, 98.0));
+  const int y1 = static_cast<int>(percentile(yhist, 2.0));
+  const int y2 = static_cast<int>(percentile(yhist, 98.0));
+  const int bw = x2 - x1, bh = y2 - y1;
+  if (bw < 40 || bh < 40) return false;
+  int64_t inner = 0;
+  for (int y = y1; y < y2; ++y)
+    for (int x = x1; x < x2; ++x)
+      inner += mask[static_cast<size_t>(y) * w + x];
+  const double density =
+      static_cast<double>(inner) / (static_cast<double>(bw) * bh);
+  if (density < 0.45) return false;
+  const double ar = static_cast<double>(bw) / std::max(bh, 1);
+  if (ar < 0.3 || ar > 2.5) return false;
+  box[0] = x1;
+  box[1] = y1;
+  box[2] = bw;
+  box[3] = bh;
+  return true;
+}
+
+// ----------------------------------------------------------------- CLAHE
+//
+// Exact port of ops/clahe.py clahe_u8_numpy (itself bit-exact vs cv2 for
+// tile-divisible sizes): reflect-101-free trailing pad (numpy 'reflect'),
+// clip + uniform redistribution with residual stepping, rounded-CDF LUTs,
+// float32 bilinear LUT interpolation with numpy's op order.
+
+void clahe_u8_native(const uint8_t* src, int h, int w, double clip_limit,
+                     int tiles, uint8_t* dst) {
+  const int tile_h = (h + tiles - 1) / tiles;
+  const int tile_w = (w + tiles - 1) / tiles;
+  const int H = tile_h * tiles, W = tile_w * tiles;
+  std::vector<uint8_t> img(static_cast<size_t>(H) * W);
+  for (int y = 0; y < H; ++y) {
+    // numpy 'reflect' (reflect-101): index 2*(n-1) - i for i >= n
+    const int sy = y < h ? y : 2 * (h - 1) - y;
+    for (int x = 0; x < W; ++x) {
+      const int sx = x < w ? x : 2 * (w - 1) - x;
+      img[static_cast<size_t>(y) * W + x] =
+          src[static_cast<size_t>(sy) * w + sx];
+    }
+  }
+  const int tile_area = tile_h * tile_w;
+  const int clip =
+      clip_limit > 0.0
+          ? std::max(static_cast<int>(clip_limit * tile_area / 256), 1)
+          : 0;
+
+  std::vector<uint8_t> luts(static_cast<size_t>(tiles) * tiles * 256);
+  std::vector<int64_t> hist(256);
+  for (int ty = 0; ty < tiles; ++ty) {
+    for (int tx = 0; tx < tiles; ++tx) {
+      std::fill(hist.begin(), hist.end(), 0);
+      for (int y = ty * tile_h; y < (ty + 1) * tile_h; ++y)
+        for (int x = tx * tile_w; x < (tx + 1) * tile_w; ++x)
+          ++hist[img[static_cast<size_t>(y) * W + x]];
+      if (clip > 0) {
+        int64_t excess = 0;
+        for (int i = 0; i < 256; ++i)
+          if (hist[i] > clip) {
+            excess += hist[i] - clip;
+            hist[i] = clip;
+          }
+        const int64_t batch = excess / 256;
+        const int64_t residual = excess - batch * 256;
+        for (int i = 0; i < 256; ++i) hist[i] += batch;
+        if (residual) {
+          const int step = std::max(static_cast<int>(256 / residual), 1);
+          for (int64_t r = 0; r < residual; ++r) hist[r * step] += 1;
+        }
+      }
+      const double scale = 255.0 / tile_area;
+      int64_t cdf = 0;
+      uint8_t* lut = luts.data() + (static_cast<size_t>(ty) * tiles + tx) * 256;
+      for (int i = 0; i < 256; ++i) {
+        cdf += hist[i];
+        double v = std::nearbyint(cdf * scale);  // round-half-even
+        lut[i] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+      }
+    }
+  }
+
+  for (int y = 0; y < h; ++y) {
+    const float tyf = y * (1.0f / tile_h) - 0.5f;
+    const int ty1 = static_cast<int>(std::floor(tyf));
+    const float ya = tyf - ty1;
+    const int ty1c = std::min(std::max(ty1, 0), tiles - 1);
+    const int ty2c = std::min(std::max(ty1 + 1, 0), tiles - 1);
+    for (int x = 0; x < w; ++x) {
+      const float txf = x * (1.0f / tile_w) - 0.5f;
+      const int tx1 = static_cast<int>(std::floor(txf));
+      const float xa = txf - tx1;
+      const int tx1c = std::min(std::max(tx1, 0), tiles - 1);
+      const int tx2c = std::min(std::max(tx1 + 1, 0), tiles - 1);
+      const uint8_t v = img[static_cast<size_t>(y) * W + x];
+      const float tl = luts[(static_cast<size_t>(ty1c) * tiles + tx1c) * 256 + v];
+      const float tr = luts[(static_cast<size_t>(ty1c) * tiles + tx2c) * 256 + v];
+      const float bl = luts[(static_cast<size_t>(ty2c) * tiles + tx1c) * 256 + v];
+      const float br = luts[(static_cast<size_t>(ty2c) * tiles + tx2c) * 256 + v];
+      const float top = tl * (1.0f - xa) + tr * xa;
+      const float bot = bl * (1.0f - xa) + br * xa;
+      float out = top * (1.0f - ya) + bot * ya;
+      out = std::nearbyintf(out);
+      dst[static_cast<size_t>(y) * w + x] =
+          static_cast<uint8_t>(out < 0 ? 0 : (out > 255 ? 255 : out));
+    }
+  }
+}
+
+// ------------------------------------------------------------- LAB (f32)
+//
+// Float-formula sRGB<->LAB (D65). Within +-2 LSB of cv2's fixed-point u8
+// tables (measured); the deviation is gated by a served-probability parity
+// test (tests/test_native_prep.py). Used only inside the native fast prep.
+
+inline float srgb_to_linear(float c) {
+  return c <= 0.04045f ? c / 12.92f : std::pow((c + 0.055f) / 1.055f, 2.4f);
+}
+
+inline float linear_to_srgb(float c) {
+  return c <= 0.0031308f ? c * 12.92f
+                         : 1.055f * std::pow(c, 1.0f / 2.4f) - 0.055f;
+}
+
+// u8 -> linear gamma table (exact: one powf per table entry, not per pixel)
+struct GammaTab {
+  float fwd[256];
+  // linear -> sRGB via 4097-point lerp table (max abs error < 1e-4, far
+  // below the documented +-2 LSB LAB tolerance)
+  float inv[4097];
+  GammaTab() {
+    for (int i = 0; i < 256; ++i) fwd[i] = srgb_to_linear(i / 255.0f);
+    for (int i = 0; i <= 4096; ++i) inv[i] = linear_to_srgb(i / 4096.0f);
+  }
+};
+const GammaTab kGamma;
+
+inline float linear_to_srgb_fast(float c) {
+  c = std::min(std::max(c, 0.0f), 1.0f) * 4096.0f;
+  const int i = static_cast<int>(c);
+  const float f = c - i;
+  return i >= 4096 ? kGamma.inv[4096]
+                   : kGamma.inv[i] * (1.0f - f) + kGamma.inv[i + 1] * f;
+}
+
+inline float lab_f(float t) {
+  return t > 0.008856f ? std::cbrt(t) : 7.787f * t + 16.0f / 116.0f;
+}
+
+void bgr_to_lab_u8(const uint8_t* bgr, int n, uint8_t* lab) {
+  const float Xn = 0.950456f, Zn = 1.088754f;
+  for (int i = 0; i < n; ++i) {
+    const float b = kGamma.fwd[bgr[i * 3 + 0]];
+    const float g = kGamma.fwd[bgr[i * 3 + 1]];
+    const float r = kGamma.fwd[bgr[i * 3 + 2]];
+    const float X = (0.412453f * r + 0.357580f * g + 0.180423f * b) / Xn;
+    const float Y = 0.212671f * r + 0.715160f * g + 0.072169f * b;
+    const float Z = (0.019334f * r + 0.119193f * g + 0.950227f * b) / Zn;
+    const float fy = lab_f(Y);
+    const float L =
+        Y > 0.008856f ? 116.0f * std::cbrt(Y) - 16.0f : 903.3f * Y;
+    const float a = 500.0f * (lab_f(X) - fy) + 128.0f;
+    const float bb = 200.0f * (fy - lab_f(Z)) + 128.0f;
+    auto q = [](float v) {
+      v = std::nearbyintf(v);
+      return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    };
+    lab[i * 3 + 0] = q(L * 255.0f / 100.0f);
+    lab[i * 3 + 1] = q(a);
+    lab[i * 3 + 2] = q(bb);
+  }
+}
+
+void lab_to_bgr_u8(const uint8_t* lab, int n, uint8_t* bgr) {
+  const float Xn = 0.950456f, Zn = 1.088754f;
+  for (int i = 0; i < n; ++i) {
+    const float L = lab[i * 3 + 0] * 100.0f / 255.0f;
+    const float a = lab[i * 3 + 1] - 128.0f;
+    const float bb = lab[i * 3 + 2] - 128.0f;
+    const float fy = (L + 16.0f) / 116.0f;
+    const float fx = fy + a / 500.0f;
+    const float fz = fy - bb / 200.0f;
+    auto finv = [](float t) {
+      const float t3 = t * t * t;
+      return t3 > 0.008856f ? t3 : (t - 16.0f / 116.0f) / 7.787f;
+    };
+    const float Y = L > 8.0f ? fy * fy * fy : L / 903.3f;
+    const float X = finv(fx) * Xn;
+    const float Z = finv(fz) * Zn;
+    const float r = 3.240479f * X - 1.537150f * Y - 0.498535f * Z;
+    const float g = -0.969256f * X + 1.875991f * Y + 0.041556f * Z;
+    const float b = 0.055648f * X - 0.204043f * Y + 1.057311f * Z;
+    auto q = [](float v) {
+      v = std::nearbyintf(linear_to_srgb_fast(v) * 255.0f);
+      return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    };
+    bgr[i * 3 + 0] = q(b);
+    bgr[i * 3 + 1] = q(g);
+    bgr[i * 3 + 2] = q(r);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -254,6 +509,79 @@ int ingest_resize_u8(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
                      int dw) {
   resize_u8_cv2(src, sh, sw, dst, dh, dw);
   return 0;
+}
+
+// Heuristic face detector on a BGR frame. Returns 1 + box when a face is
+// found, 0 otherwise.
+int ingest_detect_heuristic(const uint8_t* bgr, int h, int w, int* box) {
+  return detect_heuristic_native(bgr, h, w, box) ? 1 : 0;
+}
+
+// CLAHE on a single-channel u8 image (clip_limit 2.0 / tiles 8 is the
+// reference preprocessing).
+int ingest_clahe_u8(const uint8_t* src, int h, int w, double clip_limit,
+                    int tiles, uint8_t* dst) {
+  clahe_u8_native(src, h, w, clip_limit, tiles, dst);
+  return 0;
+}
+
+int ingest_bgr2lab(const uint8_t* bgr, int n, uint8_t* lab) {
+  bgr_to_lab_u8(bgr, n, lab);
+  return 0;
+}
+
+int ingest_lab2bgr(const uint8_t* lab, int n, uint8_t* bgr) {
+  lab_to_bgr_u8(lab, n, bgr);
+  return 0;
+}
+
+// Full per-request prep for the batched serving engine, one GIL-free call:
+//   JPEG decode -> analysis resize (ah, aw) -> heuristic face detect ->
+//   crop -> LAB -> CLAHE(L) -> BGR -> RGB align resize (align, align).
+// out_frame: (ah, aw, 3) u8 BGR analysis frame (always written on success)
+// out_aligned: (align, align, 3) u8 RGB aligned face (written iff face)
+// out_box: x, y, w, h on the decoded frame (written iff face)
+// Returns: -1 decode failure, 0 ok / no face, 1 ok / face.
+int ingest_prep_frame(const uint8_t* data, size_t len, uint8_t* out_frame,
+                      int ah, int aw, uint8_t* out_aligned, int align,
+                      int* out_box) {
+  int h = 0, w = 0;
+  uint8_t* frame = decode_jpeg(data, len, 0, &h, &w);
+  if (!frame) return -1;
+  resize_u8_cv2(frame, h, w, out_frame, ah, aw);
+
+  int box[4];
+  if (!detect_heuristic_native(frame, h, w, box)) {
+    free(frame);
+    return 0;
+  }
+  const int x = box[0], y = box[1], bw = box[2], bh = box[3];
+  // crop
+  std::vector<uint8_t> crop(static_cast<size_t>(bh) * bw * 3);
+  for (int yy = 0; yy < bh; ++yy)
+    memcpy(crop.data() + static_cast<size_t>(yy) * bw * 3,
+           frame + (static_cast<size_t>(y + yy) * w + x) * 3,
+           static_cast<size_t>(bw) * 3);
+  free(frame);
+  // LAB -> CLAHE(L) -> BGR  (preprocess_face_quality)
+  const int n = bh * bw;
+  std::vector<uint8_t> lab(static_cast<size_t>(n) * 3);
+  bgr_to_lab_u8(crop.data(), n, lab.data());
+  std::vector<uint8_t> lch(n), lch2(n);
+  for (int i = 0; i < n; ++i) lch[i] = lab[static_cast<size_t>(i) * 3];
+  clahe_u8_native(lch.data(), bh, bw, 2.0, 8, lch2.data());
+  for (int i = 0; i < n; ++i) lab[static_cast<size_t>(i) * 3] = lch2[i];
+  lab_to_bgr_u8(lab.data(), n, crop.data());
+  // BGR -> RGB, align resize (the _ResizeAligner path)
+  for (int i = 0; i < n; ++i)
+    std::swap(crop[static_cast<size_t>(i) * 3],
+              crop[static_cast<size_t>(i) * 3 + 2]);
+  resize_u8_cv2(crop.data(), bh, bw, out_aligned, align, align);
+  out_box[0] = x;
+  out_box[1] = y;
+  out_box[2] = bw;
+  out_box[3] = bh;
+  return 1;
 }
 
 }  // extern "C"

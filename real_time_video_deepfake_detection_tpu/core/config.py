@@ -97,6 +97,9 @@ class ServerConfig:
     max_batch: int = 64
     batch_timeout_ms: float = 5.0
     max_streams: int = 64
+    # In-flight device ticks the batcher may dispatch before the drainer has
+    # read back results (depth-2 overlaps host<->device sync with compute).
+    pipeline_depth: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,6 +40,17 @@ def _get_haar():
     return _haar
 
 
+def haar_available() -> bool:
+    """Whether this cv2 still ships the Haar backend (cv2 5.0 removed it)."""
+    try:
+        import cv2
+        c = cv2.CascadeClassifier(
+            cv2.data.haarcascades + "haarcascade_frontalface_default.xml")
+        return not c.empty()
+    except Exception:
+        return False
+
+
 def detect_haar(frame_bgr: np.ndarray) -> List[Box]:
     """Haar fallback with the reference's parameters
     (face_detection.py:108-123)."""

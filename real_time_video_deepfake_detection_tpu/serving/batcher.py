@@ -62,17 +62,19 @@ def reset_streams(states: StreamStates, mask: jax.Array) -> StreamStates:
     return jax.tree.map(sel, zero, states)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def device_step(spec: EfficientNetSpec, cfg: DetectorConfig, params,
-                frames_u8: jax.Array, faces_raw: jax.Array,
-                has_face: jax.Array, face_hw: jax.Array,
-                active: jax.Array, states: StreamStates):
+def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
+               frames_u8: jax.Array, faces_raw: jax.Array,
+               has_face: jax.Array, face_hw: jax.Array,
+               active: jax.Array, states: StreamStates):
     """One tick over all streams.
 
     frames_u8: (N,256,256,3) u8 — analysis-size frames (resized on host or
         by resize_frames_on_device for fixed capture sizes)
-    faces_raw: (N,160,160,3) f32 — aligned face crops, raw RGB 0-255
-        (zeros for streams without faces)
+    faces_raw: (N,160,160,3) f32 or u8 — aligned face crops, raw RGB 0-255
+        (zeros for streams without faces). u8 halves host->device traffic
+        and is exact when the aligner output is integer-valued (the resize
+        aligner's is); the engine auto-falls back to f32 for MTCNN's
+        fractional crops.
     has_face:  bool[N]; face_hw: i32[N,2] original crop size (heuristic)
     active:    bool[N] — padded-slot mask
     """
@@ -91,7 +93,8 @@ def device_step(spec: EfficientNetSpec, cfg: DetectorConfig, params,
         new_forensic, states.forensic)
     forensic_prob = fres["fake_probability"]
 
-    x = jax.vmap(lambda f: preprocess_aligned(f, cfg.model_input_size))(faces_raw)
+    x = jax.vmap(lambda f: preprocess_aligned(
+        f.astype(jnp.float32), cfg.model_input_size))(faces_raw)
     if cfg.bf16_inference:
         p16 = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16)
@@ -130,6 +133,33 @@ def device_step(spec: EfficientNetSpec, cfg: DetectorConfig, params,
         "full_forensic": full,
     }
     return out, StreamStates(new_forensic, new_tracker, new_counts)
+
+
+device_step = partial(jax.jit, static_argnums=(0, 1))(_step_core)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def device_step_compact(spec: EfficientNetSpec, cfg: DetectorConfig, params,
+                        frames_u8: jax.Array, faces_raw: jax.Array,
+                        has_face: jax.Array, face_hw: jax.Array,
+                        active: jax.Array, slot_idx: jax.Array,
+                        states: StreamStates):
+    """Occupancy-bucketed tick: inputs carry only B <= N_slots entries
+    (B static per bucket), `slot_idx` maps each entry to its stream slot in
+    the full state pytree. Cuts host->device transfer by the occupancy
+    ratio — the transfer, not the FLOPs, bounds the tick on PCIe-remote
+    runtimes. Padded entries use the dummy slot (row N) with active=False:
+    their state update is a no-op, so duplicate dummy scatters write
+    identical values.
+
+    states must have N_slots + 1 rows (the engine allocates the dummy row).
+    """
+    sub = jax.tree.map(lambda s: s[slot_idx], states)
+    out, new_sub = _step_core(spec, cfg, params, frames_u8, faces_raw,
+                              has_face, face_hw, active, sub)
+    new_full = jax.tree.map(
+        lambda full, ns: full.at[slot_idx].set(ns), states, new_sub)
+    return out, new_full
 
 
 @partial(jax.jit, static_argnums=(1, 2))

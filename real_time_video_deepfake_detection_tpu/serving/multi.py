@@ -15,6 +15,7 @@ reference). The global 100 ms rate limiter becomes per-stream.
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
 from dataclasses import dataclass, field
@@ -29,7 +30,10 @@ from ..models.efficientnet import EfficientNetSpec, init_params
 from ..pipeline.detector import preprocess_face_quality
 from ..pipeline.faces import FaceDetector
 from ..state.tracker import VERDICT_NAMES
-from .batcher import StreamStates, device_step, init_stream_states, reset_streams
+from .batcher import (
+    StreamStates, device_step, device_step_compact, init_stream_states,
+    reset_streams,
+)
 from .wsgi import App, Request, Response, jsonify
 
 
@@ -66,9 +70,26 @@ class MultiStreamEngine:
             from ..pipeline.detector import _ResizeAligner
             aligner = _ResizeAligner()
         self.aligner = aligner
+        # u8 face transfer is exact for the resize aligner (integer-valued
+        # floats) and halves host->device face traffic; MTCNN crops are
+        # fractional, so they keep f32.
+        self._faces_dtype = (
+            np.float32 if type(aligner).__name__ == "MTCNNAligner"
+            else np.uint8)
 
         self.n_slots = server_cfg.max_streams
-        self.states: StreamStates = init_stream_states(self.n_slots, cfg)
+        # +1 dummy row: padded entries of compact (occupancy-bucketed)
+        # ticks gather/scatter the dummy slot (serving/batcher.py
+        # device_step_compact).
+        self.states: StreamStates = init_stream_states(self.n_slots + 1, cfg)
+        # Bucket sizes: smallest power-of-two >= occupancy, so a tick
+        # transfers only ~the occupied slots instead of the full table.
+        self.buckets = []
+        b = 8
+        while b < min(server_cfg.max_batch, self.n_slots):
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(min(server_cfg.max_batch, self.n_slots))
         self.slot_of: Dict[str, int] = {}
         self.last_request: Dict[int, float] = {}
         self.lock = threading.Lock()
@@ -82,28 +103,40 @@ class MultiStreamEngine:
             "ewma_batch_size": 0.0, "max_batch_seen": 0,
         }
 
+        self._haar_probe: Optional[bool] = None
         self._stop = False
         self._warmup()
+        # Depth-limited in-flight tick queue: the batcher DISPATCHES device
+        # steps without waiting for results (the per-stream state pytree
+        # chains device-side between ticks); the drainer thread blocks on
+        # readiness and completes the waiting requests. Host<->device sync
+        # overlaps compute instead of serializing the tick loop (VERDICT #3:
+        # the round-1 loop blocked on each tick's readback).
+        self._inflight: "queue.Queue" = queue.Queue(
+            maxsize=max(int(getattr(server_cfg, "pipeline_depth", 2)), 1))
         self._thread = threading.Thread(target=self._batcher_loop, daemon=True)
         self._thread.start()
+        self._drainer = threading.Thread(target=self._drain_loop, daemon=True)
+        self._drainer.start()
 
     def _ewma(self, key: str, value: float, alpha: float = 0.1):
         cur = self.metrics[key]
         self.metrics[key] = value if cur == 0.0 else (1 - alpha) * cur + alpha * value
 
     def _warmup(self):
-        """Compile the device step before serving (first compile is tens of
-        seconds; requests must never pay it)."""
+        """Compile every bucket's device step before serving (first compile
+        is tens of seconds; requests must never pay it)."""
         h, w = self.cfg.forensic.analysis_size
         m = self.cfg.mtcnn_image_size
-        n = self.n_slots
-        out, _ = device_step(
-            self.spec, self.cfg, self.params,
-            jnp.zeros((n, h, w, 3), jnp.uint8),
-            jnp.zeros((n, m, m, 3), jnp.float32),
-            jnp.zeros((n,), bool), jnp.zeros((n, 2), jnp.int32),
-            jnp.zeros((n,), bool), self.states)
-        jax.block_until_ready(out["verdict"])
+        for b in self.buckets:
+            out, _ = device_step_compact(
+                self.spec, self.cfg, self.params,
+                jnp.zeros((b, h, w, 3), jnp.uint8),
+                jnp.zeros((b, m, m, 3), jnp.dtype(self._faces_dtype)),
+                jnp.zeros((b,), bool), jnp.zeros((b, 2), jnp.int32),
+                jnp.zeros((b,), bool),
+                jnp.full((b,), self.n_slots, jnp.int32), self.states)
+            jax.block_until_ready(out["verdict"])
 
     # ------------------------------------------------------------- streams
 
@@ -117,7 +150,7 @@ class MultiStreamEngine:
                           key=lambda kv: self.last_request.get(kv[1], 0.0))
                 slot = lru[1]
                 del self.slot_of[lru[0]]
-                mask = np.zeros(self.n_slots, bool)
+                mask = np.zeros(self.n_slots + 1, bool)
                 mask[slot] = True
                 self.states = reset_streams(self.states, jnp.asarray(mask))
             else:
@@ -137,7 +170,7 @@ class MultiStreamEngine:
 
     def reset(self, stream_id: Optional[str] = None) -> None:
         with self.lock:
-            mask = np.zeros(self.n_slots, bool)
+            mask = np.zeros(self.n_slots + 1, bool)
             if stream_id is None:
                 mask[:] = True
                 self.last_request.clear()
@@ -154,6 +187,51 @@ class MultiStreamEngine:
         return int(np.asarray(self.states.frame_count)[slot])
 
     # --------------------------------------------------------------- intake
+
+    def _native_prep_eligible(self) -> bool:
+        """The one-call native prep (utils/native_ingest.prep_frame)
+        reproduces exactly: default detector ladder in heuristic mode +
+        resize aligner + CLAHE. Custom detectors/aligners or an SSD-equipped
+        ladder keep the Python path."""
+        if type(self.aligner).__name__ != "_ResizeAligner":
+            return False
+        fd = self.face_detector
+        if not (isinstance(fd, FaceDetector) and fd._ssd is None):
+            return False
+        if self._haar_probe is None:
+            from ..pipeline.faces import haar_available
+            self._haar_probe = haar_available()
+        return not self._haar_probe
+
+    def analyze_jpeg(self, data: bytes, stream_id: str = "default",
+                     timeout: float = 60.0) -> Optional[dict]:
+        """JPEG fast path: decode -> resize -> detect -> CLAHE -> align in
+        ONE GIL-free native call (native/ingest.cpp ingest_prep_frame), then
+        enqueue for the next tick. Returns None when the native path is
+        unavailable (caller decodes and uses analyze())."""
+        if not self._native_prep_eligible():
+            return None
+        from ..utils.native_ingest import prep_frame
+        t0 = time.time()
+        r = prep_frame(data, self.cfg.forensic.analysis_size,
+                       self.cfg.mtcnn_image_size)
+        if r is None:
+            return None
+        frame256, aligned, box = r
+        slot = self.slot_for(stream_id)
+        if aligned is not None and self._faces_dtype == np.float32:
+            aligned = aligned.astype(np.float32)
+        p = _Pending(
+            stream_slot=slot, frame_256=frame256, face_raw=aligned,
+            face_hw=(box[3], box[2]) if box else (0, 0),
+            faces_detected=1 if box else 0,
+            bbox=box, t_start=t0)
+        with self.queue_cv:
+            self.queue.append(p)
+            self.queue_cv.notify()
+        if not p.event.wait(timeout):
+            raise TimeoutError("device tick timed out")
+        return p.result
 
     def analyze(self, frame_bgr: np.ndarray, stream_id: str = "default",
                 timeout: float = 60.0) -> dict:
@@ -205,8 +283,19 @@ class MultiStreamEngine:
                 while (len(self.queue) < self.server_cfg.max_batch
                        and time.time() < deadline):
                     self.queue_cv.wait(timeout=max(deadline - time.time(), 0.001))
-                batch = self.queue[:self.server_cfg.max_batch]
-                del self.queue[:len(batch)]
+                # at most one request per stream slot per tick (a second
+                # frame from the same stream waits for the next tick, so
+                # per-stream state updates stay ordered)
+                batch, taken = [], set()
+                rest = []
+                for p in self.queue:
+                    if (len(batch) < self.server_cfg.max_batch
+                            and p.stream_slot not in taken):
+                        batch.append(p)
+                        taken.add(p.stream_slot)
+                    else:
+                        rest.append(p)
+                self.queue = rest
             try:
                 self._run_tick(batch)
             except Exception as e:
@@ -214,63 +303,96 @@ class MultiStreamEngine:
                     p.result = {"error": str(e)}
                     p.event.set()
 
+    def _bucket_for(self, n_req: int) -> int:
+        for b in self.buckets:
+            if b >= n_req:
+                return b
+        return self.buckets[-1]
+
     def _run_tick(self, batch: List[_Pending]):
-        t_tick = time.time()
-        n = self.n_slots
+        """Assemble the compact bucketed batch and DISPATCH one device step;
+        results are completed asynchronously by _drain_loop."""
+        b = self._bucket_for(len(batch))
         h, w = self.cfg.forensic.analysis_size
-        frames = np.zeros((n, h, w, 3), np.uint8)
-        faces = np.zeros((n, self.cfg.mtcnn_image_size,
-                          self.cfg.mtcnn_image_size, 3), np.float32)
-        has_face = np.zeros(n, bool)
-        face_hw = np.zeros((n, 2), np.int32)
-        active = np.zeros(n, bool)
-        by_slot: Dict[int, _Pending] = {}
-        for p in batch:
-            s = p.stream_slot
-            by_slot[s] = p
-            frames[s] = p.frame_256
-            active[s] = True
+        frames = np.zeros((b, h, w, 3), np.uint8)
+        faces = np.zeros((b, self.cfg.mtcnn_image_size,
+                          self.cfg.mtcnn_image_size, 3), self._faces_dtype)
+        has_face = np.zeros(b, bool)
+        face_hw = np.zeros((b, 2), np.int32)
+        active = np.zeros(b, bool)
+        slot_idx = np.full(b, self.n_slots, np.int32)   # dummy slot
+        entries: List[_Pending] = []
+        for i, p in enumerate(batch):
+            entries.append(p)
+            slot_idx[i] = p.stream_slot
+            frames[i] = p.frame_256
+            active[i] = True
             if p.face_raw is not None:
-                faces[s] = p.face_raw
-                has_face[s] = True
-                face_hw[s] = p.face_hw
+                faces[i] = p.face_raw
+                has_face[i] = True
+                face_hw[i] = p.face_hw
 
         t_dev = time.time()
-        out, self.states = device_step(
-            self.spec, self.cfg, self.params,
-            jnp.asarray(frames), jnp.asarray(faces), jnp.asarray(has_face),
-            jnp.asarray(face_hw), jnp.asarray(active), self.states)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        with self.lock:
+            out, new_states = device_step_compact(
+                self.spec, self.cfg, self.params,
+                jnp.asarray(frames), jnp.asarray(faces), jnp.asarray(has_face),
+                jnp.asarray(face_hw), jnp.asarray(active),
+                jnp.asarray(slot_idx), self.states)
+            self.states = new_states
+        # blocks only when `pipeline_depth` ticks are already in flight
+        self._inflight.put((out, entries, has_face, t_dev))
 
+    def _drain_loop(self):
+        while not self._stop:
+            try:
+                item = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            out_dev, entries, has_face, t_dev = item
+            try:
+                # one bulk device->host fetch (per-array fetches each pay a
+                # round trip on remote runtimes)
+                out = jax.device_get(out_dev)
+            except Exception as e:
+                for p in entries:
+                    p.result = {"error": str(e)}
+                    p.event.set()
+                continue
+            self._complete(out, entries, has_face, t_dev)
+
+    def _complete(self, out: Dict[str, np.ndarray],
+                  entries: List[_Pending], has_face, t_dev: float):
         m = self.metrics
+        n_req = len(entries)
         m["ticks"] += 1
-        m["frames_total"] += len(batch)
-        m["max_batch_seen"] = max(m["max_batch_seen"], len(batch))
+        m["frames_total"] += n_req
+        m["max_batch_seen"] = max(m["max_batch_seen"], n_req)
         self._ewma("ewma_device_ms", (time.time() - t_dev) * 1000)
-        self._ewma("ewma_batch_size", float(len(batch)))
-        host_ms = [(t_dev - p.t_start) * 1000 for p in batch]
+        self._ewma("ewma_batch_size", float(n_req))
+        host_ms = [(t_dev - p.t_start) * 1000 for p in entries]
         self._ewma("ewma_host_prep_ms", float(np.mean(host_ms)))
 
-        for s, p in by_slot.items():
-            fake_prob = float(out["fake_probability"][s])
-            face_prob = float(out["face_probability"][s])
-            forensic_prob = float(out["frame_forensic_probability"][s])
-            verdict = VERDICT_NAMES[int(out["verdict"][s])]
+        for i, p in enumerate(entries):
+            fake_prob = float(out["fake_probability"][i])
+            face_prob = float(out["face_probability"][i])
+            forensic_prob = float(out["frame_forensic_probability"][i])
+            verdict = VERDICT_NAMES[int(out["verdict"][i])]
             ms = round((time.time() - p.t_start) * 1000, 1)
             resp = {
                 "success": True,
-                "analysis_mode": "face+frame" if has_face[s] else "frame_only",
+                "analysis_mode": "face+frame" if has_face[i] else "frame_only",
                 "faces_detected": p.faces_detected,
                 "fake_probability": fake_prob,
                 "frame_forensic_probability": forensic_prob,
                 "real_probability": 1.0 - fake_prob,
                 "confidence_level": verdict,
-                "temporal_average": float(out["temporal_average"][s]),
-                "stability_score": float(out["stability_score"][s]),
-                "frame_count": int(out["frame_count"][s]),
+                "temporal_average": float(out["temporal_average"][i]),
+                "stability_score": float(out["stability_score"][i]),
+                "frame_count": int(out["frame_count"][i]),
                 "processing_time_ms": ms,
             }
-            if has_face[s]:
+            if has_face[i]:
                 resp["face_probability"] = face_prob
                 x, y, fw, fh = p.bbox
                 resp["face_bbox"] = {"x": int(x), "y": int(y),
@@ -280,6 +402,8 @@ class MultiStreamEngine:
 
     def shutdown(self):
         self._stop = True
+        self._thread.join(timeout=2.0)
+        self._drainer.join(timeout=2.0)
 
 
 def create_batched_app(engine: Optional[MultiStreamEngine] = None,
@@ -326,12 +450,24 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
             return jsonify({"error": "Rate limited", "retry_after_ms": retry}, 429)
         if "frame" not in req.files:
             return jsonify({"error": "No frame provided"}, 400)
-        import cv2
-        arr = np.frombuffer(req.files["frame"], np.uint8)
-        frame = cv2.imdecode(arr, cv2.IMREAD_COLOR) if arr.size else None
-        if frame is None:
-            return jsonify({"error": "Invalid image format"}, 400)
+        data = req.files["frame"]
         try:
+            # JPEG fast path: one GIL-free native prep call
+            if data[:2] == b"\xff\xd8":
+                result = engine.analyze_jpeg(data, sid)
+                if result is not None:
+                    return jsonify(result)
+            # Python path: native decode (JPEG) or cv2 (PNG/BMP/fallback)
+            frame = None
+            if data[:2] == b"\xff\xd8":
+                from ..utils.native_ingest import decode_jpeg
+                frame = decode_jpeg(data)
+            if frame is None:
+                import cv2
+                arr = np.frombuffer(data, np.uint8)
+                frame = cv2.imdecode(arr, cv2.IMREAD_COLOR) if arr.size else None
+            if frame is None:
+                return jsonify({"error": "Invalid image format"}, 400)
             return jsonify(engine.analyze(frame, sid))
         except Exception as e:
             return jsonify({"error": str(e)}, 500)

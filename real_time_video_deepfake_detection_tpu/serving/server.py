@@ -35,7 +35,13 @@ logger = logging.getLogger(__name__)
 def _decode_frame(data: bytes) -> Optional[np.ndarray]:
     """JPEG/PNG/BMP bytes -> BGR u8, host-side ingest decode (entropy
     decoding is inherently serial; the batch feeds the TPU afterwards —
-    reference: backend_server.py:140-142)."""
+    reference: backend_server.py:140-142). JPEG goes through the native
+    libjpeg path (native/ingest.cpp, no GIL); PNG/BMP fall back to cv2."""
+    if data[:2] == b"\xff\xd8":
+        from ..utils.native_ingest import decode_jpeg
+        frame = decode_jpeg(data)
+        if frame is not None:
+            return frame
     import cv2
     arr = np.frombuffer(data, np.uint8)
     if arr.size == 0:

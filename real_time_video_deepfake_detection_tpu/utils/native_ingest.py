@@ -29,8 +29,10 @@ def _build() -> Optional[str]:
     if (os.path.exists(_SO)
             and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return _SO
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO, "-ljpeg", "-lpthread"]
+    # -ffp-contract=off: FMA contraction would flip 1-LSB rounding in the
+    # float32 CLAHE interpolation vs numpy's uncontracted arithmetic.
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-std=c++17", _SRC, "-o", _SO, "-ljpeg", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO
@@ -71,6 +73,25 @@ def get_lib():
         lib.ingest_resize_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        lib.ingest_detect_heuristic.restype = ctypes.c_int
+        lib.ingest_detect_heuristic.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.ingest_clahe_u8.restype = ctypes.c_int
+        lib.ingest_clahe_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_void_p]
+        lib.ingest_bgr2lab.restype = ctypes.c_int
+        lib.ingest_bgr2lab.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        lib.ingest_lab2bgr.restype = ctypes.c_int
+        lib.ingest_lab2bgr.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        lib.ingest_prep_frame.restype = ctypes.c_int
+        lib.ingest_prep_frame.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
 
@@ -120,6 +141,77 @@ def decode_resize_batch(datas: List[bytes], dh: int = 256,
     lib.ingest_decode_resize_batch(arr_p, arr_l, out.ctypes.data,
                                    dh, dw, n, n_threads, ok)
     return out, np.ctypeslib.as_array(ok).astype(bool).copy()
+
+
+def detect_heuristic_native(frame_bgr: np.ndarray):
+    """Native skin-heuristic face detector; exact port of
+    models/heuristic_face.py. Returns [(x,y,w,h)] or []. None = unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(frame_bgr)
+    box = (ctypes.c_int * 4)()
+    rc = lib.ingest_detect_heuristic(
+        src.ctypes.data, src.shape[0], src.shape[1], box)
+    return [tuple(box)] if rc == 1 else []
+
+
+def clahe_u8_native(src: np.ndarray, clip_limit: float = 2.0,
+                    tiles: int = 8) -> Optional[np.ndarray]:
+    """Native CLAHE (exact port of ops/clahe.py clahe_u8_numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src)
+    out = np.empty_like(src)
+    lib.ingest_clahe_u8(src.ctypes.data, src.shape[0], src.shape[1],
+                        clip_limit, tiles, out.ctypes.data)
+    return out
+
+
+def bgr2lab_native(bgr: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(bgr)
+    out = np.empty_like(src)
+    lib.ingest_bgr2lab(src.ctypes.data, src.shape[0] * src.shape[1],
+                       out.ctypes.data)
+    return out
+
+
+def lab2bgr_native(lab: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(lab)
+    out = np.empty_like(src)
+    lib.ingest_lab2bgr(src.ctypes.data, src.shape[0] * src.shape[1],
+                       out.ctypes.data)
+    return out
+
+
+def prep_frame(data: bytes, analysis_hw=(256, 256), align: int = 160):
+    """Full per-request serving prep in ONE GIL-free native call:
+    decode -> analysis resize -> heuristic detect -> CLAHE -> align.
+
+    Returns (frame256 u8 BGR, aligned u8 RGB or None, box or None), or None
+    when the native library is unavailable or the bytes are not decodable
+    JPEG (caller falls back to the Python path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ah, aw = analysis_hw
+    frame = np.empty((ah, aw, 3), np.uint8)
+    aligned = np.empty((align, align, 3), np.uint8)
+    box = (ctypes.c_int * 4)()
+    rc = lib.ingest_prep_frame(data, len(data), frame.ctypes.data,
+                               ah, aw, aligned.ctypes.data, align, box)
+    if rc < 0:
+        return None
+    if rc == 0:
+        return frame, None, None
+    return frame, aligned, tuple(box)
 
 
 def resize_u8(src: np.ndarray, dh: int, dw: int) -> Optional[np.ndarray]:
