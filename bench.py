@@ -104,8 +104,13 @@ def bench_e2e(n_streams=64, frames_per_stream=12):
     # batch_timeout 30 ms: over the dev tunnel each tick pays a large
     # fixed transfer cost, so coalescing full batches wins; co-located
     # deployments keep the 5 ms default.
+    import dataclasses
     engine = MultiStreamEngine(
-        DetectorConfig().with_threshold(0.55),
+        # heuristic detector rung: the e2e phase measures the data plane
+        # (decode/prep/batching/device), not cascade cost on noise frames;
+        # the default 'auto' ladder would run the from-scratch Haar here
+        dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                            face_backend="heuristic"),
         ServerConfig(max_streams=n_streams, max_batch=n_streams,
                      batch_timeout_ms=30.0, min_request_interval=0.0))
     rng = np.random.default_rng(1)

@@ -68,6 +68,10 @@ class DetectorConfig:
     small_face_boost: float = 0.10     # (:496)
     min_face_px: int = 20              # SSD box size filter (face_detection.py:102)
     ssd_confidence_threshold: float = 0.5  # (face_detection.py:37)
+    # Detector ladder rung (pipeline/faces.py): "auto" = ssd -> cv2 haar ->
+    # from-scratch haar (models/haar_cascade.py) -> skin heuristic; pinning
+    # "heuristic" keeps the fully-native GIL-free prep fast path eligible.
+    face_backend: str = "auto"
     model_input_size: int = 224        # classifier input (:383)
     mtcnn_image_size: int = 160        # MTCNN crop size (facenet default)
     # bf16 classifier compute (MXU fast path; ~1e-3-level prob deviations —

@@ -114,7 +114,7 @@ class DeepfakeDetector:
         self.face_detector = FaceDetector(
             ssd_weights_path=ssd_weights_path,
             confidence_threshold=cfg.ssd_confidence_threshold,
-            min_face_px=cfg.min_face_px)
+            min_face_px=cfg.min_face_px, backend=cfg.face_backend)
 
         self.aligner = None
         if mtcnn_weights_path and os.path.exists(mtcnn_weights_path):

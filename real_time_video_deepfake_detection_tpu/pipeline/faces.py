@@ -6,15 +6,18 @@ fall through, then to an empty list.
 
 DESIGN DECISION (SURVEY.md §2.9 "Haar cascade on TPU ... decide in design"):
 cv2 5.0 removed BOTH reference backends — cv2.dnn.readNetFromCaffe and
-cv2.CascadeClassifier incl. the bundled cascade XMLs — so neither can serve
-as a fallback anymore. The ladder here is:
+cv2.CascadeClassifier — so neither can serve as a fallback through cv2
+anymore. The ladder here is:
 
   1. primary: SSD-Res10 via the Caffe->JAX compiler (models/ssd_res10.py),
      batched + jitted on TPU, when the user-supplied caffemodel exists
   2. cv2 Haar, attempted only for environments that still ship it
-  3. heuristic skin-region proposal (models/heuristic_face.py) so the face
-     path stays functional with zero downloadable artifacts
-  4. empty list
+  3. from-scratch Haar evaluator (models/haar_cascade.py + native/haar.cpp)
+     reading the standard frontalface XML that distro packages still ship —
+     restores the reference snapshot's effective detector on cv2 5.0
+  4. heuristic skin-region proposal (models/heuristic_face.py) so the face
+     path stays functional with zero detector artifacts at all
+  5. empty list
 
 Same contract as the reference: list of (x, y, w, h) int tuples.
 """
@@ -67,12 +70,19 @@ def detect_haar(frame_bgr: np.ndarray) -> List[Box]:
 
 class FaceDetector:
     """Pluggable detector matching `detect_bounding_box` semantics
-    (face_detection.py:37-68): guards tiny/invalid frames, primary detector
-    with Haar fallback on exception."""
+    (face_detection.py:37-68): guards tiny/invalid frames; the selected
+    backend's answer is final (including "no faces"), and — like the
+    reference — only an EXCEPTION falls through to the next rung.
+
+    `backend`: "auto" resolves down the ladder in the module docstring;
+    "ssd" / "haar" / "haar_native" / "heuristic" pin a rung (exceptions
+    still degrade downward so serving never dies on a detector)."""
+
+    _LADDER = ("ssd", "haar", "haar_native", "heuristic")
 
     def __init__(self, ssd_weights_path: Optional[str] = None,
                  confidence_threshold: float = 0.5, min_face_px: int = 20,
-                 enable_heuristic: bool = True):
+                 enable_heuristic: bool = True, backend: str = "auto"):
         self.confidence_threshold = confidence_threshold
         self.min_face_px = min_face_px
         self.enable_heuristic = enable_heuristic
@@ -80,40 +90,61 @@ class FaceDetector:
         if ssd_weights_path and os.path.exists(ssd_weights_path):
             from ..models.ssd_res10 import SSDRes10
             self._ssd = SSDRes10.from_caffemodel(ssd_weights_path)
-        self._haar_ok = True   # probed lazily; cv2 5.0 removed it
+        self._ok = {r: True for r in self._LADDER}
+        self._ok["heuristic"] = enable_heuristic
+        if backend != "auto":
+            if backend not in self._LADDER:
+                raise ValueError(f"unknown face backend {backend!r}")
+            # pin: everything above the requested rung is disabled
+            for r in self._LADDER[:self._LADDER.index(backend)]:
+                self._ok[r] = False
+
+    def _available(self, rung: str) -> bool:
+        if not self._ok[rung]:
+            return False
+        if rung == "ssd":
+            return self._ssd is not None
+        if rung == "haar":
+            self._ok[rung] = haar_available()
+            return self._ok[rung]
+        if rung == "haar_native":
+            from ..models.haar_cascade import native_haar_available
+            self._ok[rung] = native_haar_available()
+            return self._ok[rung]
+        return True
 
     @property
     def backend(self) -> str:
-        if self._ssd is not None:
-            return "ssd"
-        return "haar" if self._haar_ok else "heuristic"
+        for r in self._LADDER:
+            if self._available(r):
+                return r
+        return "none"
 
-    def _fallback(self, frame_bgr: np.ndarray) -> List[Box]:
-        if self._haar_ok:
-            try:
-                return detect_haar(frame_bgr)
-            except Exception:
-                self._haar_ok = False
-        if self.enable_heuristic:
-            from ..models.heuristic_face import detect_heuristic
-            return detect_heuristic(frame_bgr)
-        return []
+    def _detect_with(self, rung: str, frame_bgr: np.ndarray) -> List[Box]:
+        if rung == "ssd":
+            return self._ssd.detect(
+                frame_bgr, self.confidence_threshold, self.min_face_px)
+        if rung == "haar":
+            return detect_haar(frame_bgr)
+        if rung == "haar_native":
+            from ..models.haar_cascade import detect_haar_native
+            return detect_haar_native(frame_bgr)
+        from ..models.heuristic_face import detect_heuristic
+        return detect_heuristic(frame_bgr)
 
     def __call__(self, frame_bgr: np.ndarray) -> List[Box]:
-        try:
-            if frame_bgr is None or frame_bgr.size == 0:
-                return []
-            if frame_bgr.ndim < 2 or frame_bgr.shape[0] < 30 or frame_bgr.shape[1] < 30:
-                return []
-            if self._ssd is not None:
-                return self._ssd.detect(
-                    frame_bgr, self.confidence_threshold, self.min_face_px)
-            return self._fallback(frame_bgr)
-        except Exception:
+        if frame_bgr is None or getattr(frame_bgr, "size", 0) == 0:
+            return []
+        if frame_bgr.ndim < 2 or frame_bgr.shape[0] < 30 or frame_bgr.shape[1] < 30:
+            return []
+        for r in self._LADDER:
+            if not self._available(r):
+                continue
             try:
-                return self._fallback(frame_bgr)
+                return self._detect_with(r, frame_bgr)
             except Exception:
-                return []
+                self._ok[r] = False   # degrade permanently, try next rung
+        return []
 
 
 def extract_face_region(frame: np.ndarray, box: Box, padding: int = 0) -> np.ndarray:

@@ -65,7 +65,7 @@ class MultiStreamEngine:
             jax.random.PRNGKey(0), self.spec)
         self.face_detector = face_detector or FaceDetector(
             confidence_threshold=cfg.ssd_confidence_threshold,
-            min_face_px=cfg.min_face_px)
+            min_face_px=cfg.min_face_px, backend=cfg.face_backend)
         if aligner is None:
             from ..pipeline.detector import _ResizeAligner
             aligner = _ResizeAligner()
@@ -103,7 +103,7 @@ class MultiStreamEngine:
             "ewma_batch_size": 0.0, "max_batch_seen": 0,
         }
 
-        self._haar_probe: Optional[bool] = None
+        self._haar_probe: Optional[str] = None   # cached effective backend
         self._stop = False
         self._warmup()
         # Depth-limited in-flight tick queue: the batcher DISPATCHES device
@@ -190,18 +190,19 @@ class MultiStreamEngine:
 
     def _native_prep_eligible(self) -> bool:
         """The one-call native prep (utils/native_ingest.prep_frame)
-        reproduces exactly: default detector ladder in heuristic mode +
-        resize aligner + CLAHE. Custom detectors/aligners or an SSD-equipped
-        ladder keep the Python path."""
+        reproduces exactly: heuristic detection + resize aligner + CLAHE.
+        It is used only when the ladder's EFFECTIVE backend is the heuristic
+        (no SSD weights, no cv2 haar, no cascade XML — or the config pinned
+        face_backend="heuristic"); otherwise the Python path runs the real
+        detector so /analyze behavior always matches engine.analyze."""
         if type(self.aligner).__name__ != "_ResizeAligner":
             return False
         fd = self.face_detector
-        if not (isinstance(fd, FaceDetector) and fd._ssd is None):
+        if not isinstance(fd, FaceDetector):
             return False
         if self._haar_probe is None:
-            from ..pipeline.faces import haar_available
-            self._haar_probe = haar_available()
-        return not self._haar_probe
+            self._haar_probe = fd.backend
+        return self._haar_probe == "heuristic"
 
     def analyze_jpeg(self, data: bytes, stream_id: str = "default",
                      timeout: float = 60.0) -> Optional[dict]:

@@ -1,0 +1,148 @@
+"""From-scratch Haar cascade evaluator tests (models/haar_cascade.py +
+native/haar.cpp).
+
+The reference's effective snapshot detector is the cv2 Haar cascade
+(face_detection.py:19-31,108-123) — removed in cv2 5.0, restored here by
+evaluating the standard XML directly. Validation: the real
+haarcascade_frontalface_default.xml against a real frontal-face photograph
+(matplotlib's grace_hopper.jpg sample), plus native/numpy decision parity
+and groupRectangles semantics.
+"""
+
+import numpy as np
+import pytest
+
+from real_time_video_deepfake_detection_tpu.models.haar_cascade import (
+    HaarCascade, bgr_to_gray_u8, find_cascade_xml, group_rectangles,
+)
+
+XML = find_cascade_xml()
+needs_xml = pytest.mark.skipif(XML is None, reason="no haarcascade xml installed")
+
+
+def _hopper_bgr():
+    import matplotlib
+    import os
+    from PIL import Image
+    p = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                     "sample_data", "grace_hopper.jpg")
+    rgb = np.asarray(Image.open(p))
+    return rgb[:, :, ::-1].copy()
+
+
+@pytest.fixture(scope="module")
+def cascade():
+    if XML is None:
+        pytest.skip("no haarcascade xml installed")
+    return HaarCascade.from_xml(XML)
+
+
+@needs_xml
+def test_parse_frontalface_default(cascade):
+    assert (cascade.win_w, cascade.win_h) == (24, 24)
+    assert len(cascade.stages) == 25
+    assert sum(s.node_thresh.size for s in cascade.stages) == 2913
+    # stage 0 of the published cascade: 9 stumps, threshold ~ -5.0426
+    assert cascade.stages[0].node_thresh.size == 9
+    assert cascade.stages[0].threshold == pytest.approx(-5.04255, abs=1e-4)
+
+
+@needs_xml
+def test_detects_real_face(cascade):
+    """End-to-end on a real photograph: exactly one face, covering the known
+    face location (image is 512x600; the face occupies roughly the center)."""
+    gray = bgr_to_gray_u8(_hopper_bgr())
+    boxes = cascade.detect_multiscale(gray)
+    assert len(boxes) == 1
+    x, y, w, h = boxes[0]
+    cx, cy = x + w / 2, y + h / 2
+    assert 180 < cx < 330 and 140 < cy < 320
+    assert 100 < w < 350
+
+
+@needs_xml
+def test_uniform_image_no_faces(cascade):
+    assert cascade.detect_multiscale(np.full((240, 320), 128, np.uint8)) == []
+
+
+@needs_xml
+def test_native_numpy_decision_parity(cascade):
+    """The C++ evaluator and the vectorized numpy evaluator emit identical
+    raw (pre-grouping) windows — real photo and noise images."""
+    from real_time_video_deepfake_detection_tpu.utils.native_haar import NativeHaar
+    try:
+        native = NativeHaar(cascade)
+    except RuntimeError:
+        pytest.skip("native toolchain unavailable")
+
+    gray = bgr_to_gray_u8(_hopper_bgr())
+    assert sorted(native.detect_raw(gray)) == sorted(cascade.detect_raw(gray))
+
+    rng = np.random.default_rng(3)
+    for trial in range(2):
+        g = rng.integers(0, 256, (150 + 50 * trial, 180), dtype=np.uint8)
+        assert sorted(native.detect_raw(g)) == sorted(cascade.detect_raw(g))
+
+
+@needs_xml
+def test_min_size_respected(cascade):
+    gray = bgr_to_gray_u8(_hopper_bgr())
+    big_only = cascade.detect_multiscale(gray, min_size=(400, 400))
+    for (x, y, w, h) in big_only:
+        assert w >= 400 and h >= 400
+
+
+@needs_xml
+def test_determinism(cascade):
+    gray = bgr_to_gray_u8(_hopper_bgr())[:256, :256]
+    assert cascade.detect_multiscale(gray) == cascade.detect_multiscale(gray)
+
+
+def test_bgr_to_gray_matches_cv2_fixed_point():
+    rng = np.random.default_rng(0)
+    bgr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    g = bgr_to_gray_u8(bgr)
+    # float reference within 1 LSB of the fixed-point result everywhere
+    ref = (bgr[..., 2] * 0.299 + bgr[..., 1] * 0.587 + bgr[..., 0] * 0.114)
+    assert np.max(np.abs(g.astype(np.float64) - ref)) <= 1.0
+
+
+def test_group_rectangles_semantics():
+    # 6 near-identical rects + 1 outlier, groupThreshold=5: the cluster of 6
+    # survives (count > 5), the singleton is dropped
+    cluster = [(100 + d, 100 + d, 50, 50) for d in range(6)]
+    outlier = [(300, 300, 40, 40)]
+    out = group_rectangles(cluster + outlier, 5)
+    assert len(out) == 1
+    x, y, w, h = out[0]
+    assert abs(x - 102) <= 1 and abs(y - 102) <= 1 and w == 50
+
+    # exactly groupThreshold members -> dropped (strict > semantics)
+    assert group_rectangles(cluster[:5], 5) == []
+    # groupThreshold=0 keeps any detection
+    assert len(group_rectangles(outlier, 0)) == 1
+
+
+def test_group_rectangles_inside_suppression():
+    # small cluster strictly inside a much stronger cluster is suppressed
+    big = [(100, 100, 200, 200)] * 10
+    small = [(150, 150, 40, 40)] * 5
+    out = group_rectangles(big + small, 3)
+    assert out == [(100, 100, 200, 200)]
+
+
+@needs_xml
+def test_face_detector_ladder_uses_native_haar():
+    """With no SSD weights and cv2 5.0 (no CascadeClassifier), the ladder's
+    effective backend is the from-scratch evaluator when the XML exists."""
+    from real_time_video_deepfake_detection_tpu.pipeline.faces import (
+        FaceDetector, haar_available,
+    )
+    det = FaceDetector()
+    expected = "haar" if haar_available() else "haar_native"
+    assert det.backend == expected
+    boxes = det(_hopper_bgr())
+    assert len(boxes) == 1
+
+    pinned = FaceDetector(backend="heuristic")
+    assert pinned.backend == "heuristic"

@@ -1,6 +1,7 @@
 """Multi-stream batched serving tests (BASELINE config 4): per-stream
 session isolation, batching under concurrency, schema preservation."""
 
+import dataclasses
 import io
 import threading
 import time
@@ -24,7 +25,11 @@ rng = np.random.default_rng(61)
 
 @pytest.fixture(scope="module")
 def engine():
-    cfg = DetectorConfig().with_threshold(0.55)
+    # heuristic backend: deterministic detection of the synthetic-ellipse
+    # faces these tests draw (the haar rungs, like the reference's cascade,
+    # do not fire on synthetic faces)
+    cfg = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55), face_backend="heuristic")
     scfg = ServerConfig(max_streams=8, max_batch=8, batch_timeout_ms=5.0,
                         min_request_interval=0.0)
     e = MultiStreamEngine(cfg, scfg)
@@ -90,8 +95,10 @@ def test_batched_matches_reference_single_stream_semantics(engine):
         DeepfakeDetector,
     )
     engine.reset()
-    det = DeepfakeDetector(DetectorConfig().with_threshold(0.55),
-                           params=engine.params, spec=engine.spec)
+    det = DeepfakeDetector(
+        dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                            face_backend="heuristic"),
+        params=engine.params, spec=engine.spec)
 
     for i in range(7):
         frame = _frame(i + 200)
@@ -142,8 +149,10 @@ def test_face_path_batched_parity(engine):
         DeepfakeDetector,
     )
     engine.reset()
-    det = DeepfakeDetector(DetectorConfig().with_threshold(0.55),
-                           params=engine.params, spec=engine.spec)
+    det = DeepfakeDetector(
+        dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                            face_backend="heuristic"),
+        params=engine.params, spec=engine.spec)
 
     def face_frame(t):
         f = np.full((240, 320, 3), 120, np.uint8)

@@ -108,8 +108,12 @@ def test_served_probability_guard():
         MultiStreamEngine,
     )
 
+    import dataclasses
     engine = MultiStreamEngine(
-        DetectorConfig().with_threshold(0.55),
+        # native prep reproduces the heuristic rung; pin it so the fast
+        # path is eligible regardless of whether a haar XML is installed
+        dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                            face_backend="heuristic"),
         ServerConfig(max_streams=4, max_batch=4, batch_timeout_ms=2.0,
                      min_request_interval=0.0))
     try:
