@@ -77,6 +77,17 @@ class DetectorConfig:
     # bf16 classifier compute (MXU fast path; ~1e-3-level prob deviations —
     # keep False when bit-comparing verdicts against the reference)
     bf16_inference: bool = False
+    # Fused Pallas resize+normalize preproc (kernels/preproc.py); measured
+    # XLA-vs-Pallas timings in docs/DESIGN.md decide the default.
+    use_pallas_preproc: bool = False
+    # Pallas unique-hue color-stats kernel in the forensic color signal
+    # (kernels/color_stats.py; ops/forensics.py wires it through).
+    use_pallas_color: bool = False
+    # CLAHE on device (Pallas, kernels/clahe.py) applied to the ALIGNED
+    # 160x160 crop instead of host CLAHE on the pre-align crop — an
+    # approximation (CLAHE and resize commuted) that removes per-face host
+    # work; resize-aligner mode only (serving/multi.py enforces).
+    clahe_device: bool = False
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
     forensic: ForensicConfig = dataclasses.field(default_factory=ForensicConfig)
 

@@ -84,3 +84,70 @@ def bgr_to_hsv_u8(bgr: jax.Array) -> jax.Array:
     h = jnp.where(h < 0, h + 180, h)
 
     return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
+
+
+# ------------------------------------------------------------- CIELAB (u8)
+#
+# cv2 COLOR_BGR2LAB/LAB2BGR float math (D65, sRGB gamma), matching the
+# native C implementation (native/ingest.cpp bgr_to_lab_u8) within the same
+# +-2 LSB tolerance documented there. Used by the device-side CLAHE option
+# (serving/batcher.py): faces are RGB on device, so these take RGB order.
+
+_LAB_XN = 0.950456
+_LAB_ZN = 1.088754
+
+
+def _srgb_to_linear(c: jax.Array) -> jax.Array:
+    return jnp.where(c <= 0.04045, c / 12.92,
+                     jnp.power((c + 0.055) / 1.055, 2.4))
+
+
+def _linear_to_srgb(c: jax.Array) -> jax.Array:
+    c = jnp.clip(c, 0.0, 1.0)
+    return jnp.where(c <= 0.0031308, 12.92 * c,
+                     1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
+
+
+def _lab_f(t: jax.Array) -> jax.Array:
+    return jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+
+def _q_u8(v: jax.Array) -> jax.Array:
+    return jnp.clip(jnp.round(v), 0, 255).astype(jnp.uint8)
+
+
+def rgb_to_lab_u8(rgb_u8: jax.Array) -> jax.Array:
+    """(..., 3) u8 RGB -> (..., 3) u8 Lab (L scaled *255/100, a/b +128)."""
+    lin = _srgb_to_linear(rgb_u8.astype(jnp.float32) / 255.0)
+    r, g, b = lin[..., 0], lin[..., 1], lin[..., 2]
+    x = (0.412453 * r + 0.357580 * g + 0.180423 * b) / _LAB_XN
+    y = 0.212671 * r + 0.715160 * g + 0.072169 * b
+    z = (0.019334 * r + 0.119193 * g + 0.950227 * b) / _LAB_ZN
+    fy = _lab_f(y)
+    L = jnp.where(y > 0.008856, 116.0 * jnp.cbrt(y) - 16.0, 903.3 * y)
+    a = 500.0 * (_lab_f(x) - fy) + 128.0
+    bb = 200.0 * (fy - _lab_f(z)) + 128.0
+    return jnp.stack([_q_u8(L * 255.0 / 100.0), _q_u8(a), _q_u8(bb)], axis=-1)
+
+
+def lab_to_rgb_u8(lab_u8: jax.Array) -> jax.Array:
+    lab = lab_u8.astype(jnp.float32)
+    L = lab[..., 0] * 100.0 / 255.0
+    a = lab[..., 1] - 128.0
+    bb = lab[..., 2] - 128.0
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - bb / 200.0
+
+    def finv(t):
+        t3 = t * t * t
+        return jnp.where(t3 > 0.008856, t3, (t - 16.0 / 116.0) / 7.787)
+
+    y = jnp.where(L > 8.0, fy * fy * fy, L / 903.3)
+    x = finv(fx) * _LAB_XN
+    z = finv(fz) * _LAB_ZN
+    r = 3.240479 * x - 1.537150 * y - 0.498535 * z
+    g = -0.969256 * x + 1.875991 * y + 0.041556 * z
+    b = 0.055648 * x - 0.204043 * y + 1.057311 * z
+    to8 = lambda c: _q_u8(_linear_to_srgb(c) * 255.0)
+    return jnp.stack([to8(r), to8(g), to8(b)], axis=-1)

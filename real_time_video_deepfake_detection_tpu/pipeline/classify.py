@@ -29,13 +29,20 @@ def preprocess_aligned(face_rgb_raw: jax.Array, size: int = 224) -> jax.Array:
     return (x - _IMAGENET_MEAN) / _IMAGENET_STD
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def classify_batch(params, faces_rgb_raw: jax.Array, spec: EfficientNetSpec,
-                   size: int = 224, bf16: bool = False) -> jax.Array:
+                   size: int = 224, bf16: bool = False,
+                   pallas_preproc: bool = False) -> jax.Array:
     """(B, H, W, 3) raw-RGB aligned faces -> (B,) fake probabilities.
     bf16=True runs the backbone in bfloat16 (f32 master weights cast at
-    trace time; sigmoid in f32) — ~20% faster on the MXU, ~1e-3 prob drift."""
-    x = jax.vmap(lambda f: preprocess_aligned(f, size))(faces_rgb_raw)
+    trace time; sigmoid in f32) — ~20% faster on the MXU, ~1e-3 prob drift.
+    pallas_preproc=True fuses resize+scale+normalize into one VMEM-resident
+    Pallas program (kernels/preproc.py; equivalent to 1e-4)."""
+    if pallas_preproc:
+        from ..kernels.preproc import preprocess_faces_pallas
+        x = preprocess_faces_pallas(faces_rgb_raw, size)
+    else:
+        x = jax.vmap(lambda f: preprocess_aligned(f, size))(faces_rgb_raw)
     if bf16:
         p = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16)

@@ -230,8 +230,11 @@ class DeepfakeDetector:
             fake_prob, h, w, self.cfg.small_face_px, self.cfg.small_face_boost)
 
     def analyze_face(self, face_bgr: np.ndarray):
-        """Returns (fake_prob, fake_prob, gradcam=None) or (None,None,None)
-        (deepfake_detection.py:517-550)."""
+        """Returns (fake_prob, fake_prob, gradcam) or (None, None, None)
+        (deepfake_detection.py:517-550). `gradcam` is a (224, 224) float
+        heatmap in [0, 1] when `enable_gradcam=True` (the reference imports
+        pytorch_grad_cam but ships it permanently disabled, :543-544; here
+        the flag actually works — models/gradcam.py), else None."""
         try:
             preprocessed = preprocess_face_quality(face_bgr)
             if self.use_tta:
@@ -242,9 +245,24 @@ class DeepfakeDetector:
                 return None, None, None
             fake_prob = self.apply_calibration(fake_prob)
             fake_prob = self.apply_heuristics(fake_prob, face_bgr)
-            return fake_prob, fake_prob, None
+            cam = self._gradcam(preprocessed) if self.enable_gradcam else None
+            return fake_prob, fake_prob, cam
         except Exception:
             return None, None, None
+
+    def _gradcam(self, preprocessed_bgr: np.ndarray) -> Optional[np.ndarray]:
+        """Heatmap over the aligned face the classifier actually saw."""
+        try:
+            aligned = self.aligner(preprocessed_bgr)
+            if aligned is None:
+                return None
+            from ..models.gradcam import gradcam
+            from .classify import preprocess_aligned
+            x = preprocess_aligned(jnp.asarray(aligned, jnp.float32),
+                                   self.cfg.model_input_size)
+            return np.asarray(gradcam(self.params, x[None], self.spec)[0])
+        except Exception:
+            return None
 
     def _tta_prediction(self, face_bgr: np.ndarray) -> Optional[float]:
         """TTA: flip / brightness / small rotations, averaged

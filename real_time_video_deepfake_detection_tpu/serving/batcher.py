@@ -85,7 +85,8 @@ def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
     full = jnp.mod(states.frame_count, cfg.full_forensic_interval) == 0
 
     fres, new_forensic = forensics.analyze_frame_batch(
-        frames_u8, states.forensic, full, cfg.forensic)
+        frames_u8, states.forensic, full, cfg.forensic,
+        use_pallas_color=cfg.use_pallas_color)
     # inactive slots keep their old forensic state
     new_forensic = jax.tree.map(
         lambda new, old: jnp.where(
@@ -93,8 +94,27 @@ def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
         new_forensic, states.forensic)
     forensic_prob = fres["fake_probability"]
 
-    x = jax.vmap(lambda f: preprocess_aligned(
-        f.astype(jnp.float32), cfg.model_input_size))(faces_raw)
+    if cfg.clahe_device:
+        # Device-side CLAHE on the aligned crop (Pallas per-tile histogram
+        # kernel, kernels/clahe.py) instead of host CLAHE on the pre-align
+        # crop. Commutes CLAHE with the align resize — an approximation of
+        # preprocess_face_quality (deepfake_detection.py:357-370), offered
+        # for 1-core hosts where per-face host CLAHE is the bottleneck;
+        # requires u8 faces (resize-aligner mode, enforced by the engine).
+        from ..kernels.clahe import clahe_u8_pallas
+        from ..ops.color import lab_to_rgb_u8, rgb_to_lab_u8
+        lab = rgb_to_lab_u8(faces_raw)
+        L = jax.vmap(clahe_u8_pallas)(lab[..., 0])
+        faces_raw = lab_to_rgb_u8(
+            jnp.stack([L, lab[..., 1], lab[..., 2]], axis=-1))
+
+    if cfg.use_pallas_preproc:
+        from ..kernels.preproc import preprocess_faces_pallas
+        x = preprocess_faces_pallas(faces_raw.astype(jnp.float32),
+                                    cfg.model_input_size)
+    else:
+        x = jax.vmap(lambda f: preprocess_aligned(
+            f.astype(jnp.float32), cfg.model_input_size))(faces_raw)
     if cfg.bf16_inference:
         p16 = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16)

@@ -76,6 +76,10 @@ class MultiStreamEngine:
         self._faces_dtype = (
             np.float32 if type(aligner).__name__ == "MTCNNAligner"
             else np.uint8)
+        if cfg.clahe_device and self._faces_dtype != np.uint8:
+            raise ValueError("clahe_device requires the resize aligner "
+                             "(u8 crops); MTCNN alignment needs the "
+                             "CLAHE'd image on host")
 
         self.n_slots = server_cfg.max_streams
         # +1 dummy row: padded entries of compact (occupancy-bucketed)
@@ -197,6 +201,8 @@ class MultiStreamEngine:
         detector so /analyze behavior always matches engine.analyze."""
         if type(self.aligner).__name__ != "_ResizeAligner":
             return False
+        if self.cfg.clahe_device:   # native prep applies host CLAHE
+            return False
         fd = self.face_detector
         if not isinstance(fd, FaceDetector):
             return False
@@ -253,7 +259,10 @@ class MultiStreamEngine:
             x, y, fw, fh = faces[0]
             region = frame_bgr[y:y + fh, x:x + fw]
             try:
-                pre = preprocess_face_quality(region)
+                # clahe_device: ship the raw aligned crop; the device step
+                # applies CLAHE (serving/batcher.py _step_core)
+                pre = (region if self.cfg.clahe_device
+                       else preprocess_face_quality(region))
                 face_raw = self.aligner(pre)
             except Exception:
                 face_raw = None

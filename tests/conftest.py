@@ -8,14 +8,17 @@ import os
 # re-asserts it programmatically, so the env var alone is not enough — force
 # the CPU backend through jax.config. Every device->host scalar transfer over
 # the axon tunnel costs ~30 ms, which would make these tests minutes-slow.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("RUN_TPU_TESTS") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("RUN_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: the suite's wall time is dominated by
 # CPU jit compiles (B0 forward/train at several shapes, the serving engine).

@@ -124,6 +124,22 @@ def test_analyze_face_on_synthetic(detector):
     assert gradcam is None
 
 
+def test_analyze_face_gradcam_enabled():
+    """enable_gradcam=True returns a live (224,224) [0,1] heatmap through
+    analyze_face (the reference ships the flag permanently disabled,
+    deepfake_detection.py:543-544; here it works)."""
+    from real_time_video_deepfake_detection_tpu.pipeline.detector import (
+        DeepfakeDetector,
+    )
+    det = DeepfakeDetector(DetectorConfig(), enable_gradcam=True)
+    face = np.full((160, 160, 3), 150, np.uint8)
+    cv2.circle(face, (80, 80), 50, (120, 140, 180), -1)
+    prob, _, cam = det.analyze_face(face)
+    assert prob is not None
+    assert cam is not None and cam.shape == (224, 224)
+    assert float(cam.min()) >= 0.0 and float(cam.max()) <= 1.0
+
+
 def test_small_face_heuristic(detector):
     from real_time_video_deepfake_detection_tpu.pipeline.classify import (
         apply_small_face_heuristic,

@@ -175,3 +175,49 @@ def test_face_path_batched_parity(engine):
         assert r["confidence_level"] == det.temporal_tracker.get_confidence_level()
         assert r["face_bbox"] == {"x": int(x), "y": int(y),
                                   "width": int(w), "height": int(h)}
+
+
+def test_clahe_device_mode_close_to_host():
+    """clahe_device=True (Pallas CLAHE on the aligned crop, device side)
+    tracks the host-CLAHE path: same analysis mode/bbox, face probability
+    within the documented approximation tolerance (CLAHE and the align
+    resize commuted)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("pallas clahe compiles on TPU only")
+    base = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55), face_backend="heuristic")
+    scfg = ServerConfig(max_streams=2, max_batch=2, batch_timeout_ms=2.0,
+                        min_request_interval=0.0)
+    e_host = MultiStreamEngine(base, scfg)
+    e_dev = MultiStreamEngine(
+        dataclasses.replace(base, clahe_device=True), scfg,
+        params=e_host.params, spec=e_host.spec)
+    try:
+        for t in range(3):
+            f = np.full((240, 320, 3), 120, np.uint8)
+            cv2.ellipse(f, (160, 120 + t), (60, 80), 0, 0, 360,
+                        (140, 160, 210), -1)
+            rh = e_host.analyze(f, "s")
+            rd = e_dev.analyze(f, "s")
+            assert rd["analysis_mode"] == rh["analysis_mode"]
+            if "face_bbox" in rh:
+                assert rd["face_bbox"] == rh["face_bbox"]
+                assert abs(rd["face_probability"]
+                           - rh["face_probability"]) < 0.05
+    finally:
+        e_host.shutdown()
+        e_dev.shutdown()
+
+
+def test_clahe_device_rejects_mtcnn_aligner():
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        MultiStreamEngine as MSE,
+    )
+
+    class FakeMTCNN:
+        pass
+    FakeMTCNN.__name__ = "MTCNNAligner"
+    cfg = dataclasses.replace(DetectorConfig(), clahe_device=True)
+    with pytest.raises(ValueError):
+        MSE(cfg, ServerConfig(max_streams=2, max_batch=2),
+            aligner=FakeMTCNN())

@@ -10,15 +10,10 @@ import jax.numpy as jnp
 from real_time_video_deepfake_detection_tpu.kernels.preproc import (
     preprocess_faces_pallas,
 )
-from real_time_video_deepfake_detection_tpu.kernels.forensic_stats import (
-    noise_block_stats_pallas,
-)
 from real_time_video_deepfake_detection_tpu.pipeline.classify import (
     preprocess_aligned,
 )
-from real_time_video_deepfake_detection_tpu.ops.forensics import _block_stats
 from real_time_video_deepfake_detection_tpu.ops.color import bgr_to_gray_u8
-from real_time_video_deepfake_detection_tpu.ops.filters import gaussian_blur5_f32
 
 rng = np.random.default_rng(55)
 
@@ -38,19 +33,6 @@ def test_preproc_kernel_other_sizes():
     ref = np.stack([np.asarray(preprocess_aligned(jnp.asarray(f)))
                     for f in faces])
     np.testing.assert_allclose(out, ref, atol=1e-4)
-
-
-def test_noise_block_stats_kernel():
-    frames = rng.integers(0, 256, (2, 256, 256, 3), dtype=np.uint8)
-    means, stds = noise_block_stats_pallas(jnp.asarray(frames), interpret=True)
-    for i in range(2):
-        gray = bgr_to_gray_u8(jnp.asarray(frames[i])).astype(jnp.float32)
-        noise = gray - gaussian_blur5_f32(gray)
-        ref_mean, ref_std = _block_stats(noise, 32)
-        np.testing.assert_allclose(np.asarray(means[i]).reshape(-1),
-                                   np.asarray(ref_mean), atol=1e-3)
-        np.testing.assert_allclose(np.asarray(stds[i]).reshape(-1),
-                                   np.asarray(ref_std), atol=1e-3)
 
 
 def test_color_kernel_matches_reference():
@@ -86,3 +68,47 @@ def test_clahe_kernels_match_cv2(shape):
     # exact up to float .5-tie rounding in the bilinear weights
     assert d.max() <= 1
     assert (d > 0).mean() < 0.005
+
+
+def test_jnp_lab_matches_native_c():
+    """ops/color rgb_to_lab_u8 / lab_to_rgb_u8 vs the native C tables
+    (native/ingest.cpp) — bit-identical on random u8 input."""
+    from real_time_video_deepfake_detection_tpu.ops.color import (
+        lab_to_rgb_u8, rgb_to_lab_u8,
+    )
+    from real_time_video_deepfake_detection_tpu.utils import native_ingest as ni
+    if ni.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    bgr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    lab_j = np.asarray(rgb_to_lab_u8(jnp.asarray(bgr[:, :, ::-1].copy())))
+    lab_c = ni.bgr2lab_native(bgr)
+    # C path gamma uses a 4097-point lerp table and cbrtf (1-ulp class
+    # differences): +-1 LSB on rounding boundaries, same tolerance the
+    # native implementation documents vs cv2
+    d = np.abs(lab_j.astype(int) - lab_c.astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 0.02
+    rgb_j = np.asarray(lab_to_rgb_u8(jnp.asarray(lab_c)))
+    bgr_c = ni.lab2bgr_native(lab_c)
+    d2 = np.abs(rgb_j[:, :, ::-1].astype(int) - bgr_c.astype(int))
+    assert d2.max() <= 1 and (d2 > 0).mean() < 0.02
+
+
+def test_classify_batch_pallas_preproc_flag():
+    """classify_batch(pallas_preproc=True) (interpret on CPU) matches the
+    XLA preproc path."""
+    import jax
+    from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+        EfficientNetSpec, init_params,
+    )
+    from real_time_video_deepfake_detection_tpu.pipeline.classify import (
+        classify_batch,
+    )
+    if jax.default_backend() == "cpu":
+        pytest.skip("pallas preproc compiles on TPU; interpret covered by "
+                    "test_preproc_kernel")
+    spec = EfficientNetSpec.make("b0")
+    params = init_params(jax.random.PRNGKey(0), spec)
+    faces = jnp.asarray(rng.random((4, 160, 160, 3), dtype=np.float32) * 255)
+    a = classify_batch(params, faces, spec)
+    b = classify_batch(params, faces, spec, 224, False, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
