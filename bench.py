@@ -30,7 +30,8 @@ import time
 import numpy as np
 
 
-def bench_core(n_streams=64, window=8, n_windows=12, warm_windows=2):
+def bench_core(n_streams=64, window=8, n_windows=12, warm_windows=2,
+               bf16=False):
     import jax
     import jax.numpy as jnp
 
@@ -46,6 +47,9 @@ def bench_core(n_streams=64, window=8, n_windows=12, warm_windows=2):
     n_variants = 4
     spec = EfficientNetSpec.make("b0")
     cfg = DetectorConfig().with_threshold(0.55)
+    if bf16:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, bf16_inference=True)
     params = init_params(jax.random.PRNGKey(0), spec)
     states = init_stream_states(n_streams, cfg)
 
@@ -88,6 +92,54 @@ def bench_core(n_streams=64, window=8, n_windows=12, warm_windows=2):
         "tick_ms_p50": float(np.percentile(per_tick_ms, 50)),
         "tick_ms_p95": float(np.percentile(per_tick_ms, 95)),
     }
+
+
+def bf16_parity_guard(n_streams=64, n_ticks=4):
+    """One short fp32-vs-bf16 drill on identical inputs/state: bf16 is only
+    allowed as the headline number when probabilities stay within the 1e-3
+    north-star budget and every verdict matches.
+
+    n_streams MUST stay 64: the fp32 tick then reuses bench_core's compiled
+    program and the bf16 tick pre-compiles the one bench_core(bf16=True)
+    reuses — the guard itself adds zero compiles."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_video_deepfake_detection_tpu.core.config import DetectorConfig
+    from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+        EfficientNetSpec, init_params,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.batcher import (
+        device_step_from_capture, init_stream_states,
+    )
+
+    spec = EfficientNetSpec.make("b0")
+    cfg32 = DetectorConfig().with_threshold(0.55)
+    cfg16 = dataclasses.replace(cfg32, bf16_inference=True)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.integers(0, 256, (n_streams, 480, 640, 3),
+                                      dtype=np.uint8))
+    faces = jnp.asarray(rng.random((n_streams, 160, 160, 3),
+                                   dtype=np.float32) * 255)
+    ones = jnp.ones((n_streams,), bool)
+    hw = jnp.full((n_streams, 2), 120, jnp.int32)
+    s32 = init_stream_states(n_streams, cfg32)
+    s16 = init_stream_states(n_streams, cfg16)
+    max_dp = 0.0
+    verdicts_equal = True
+    for _ in range(n_ticks):
+        o32, s32 = device_step_from_capture(spec, cfg32, params, frames,
+                                            faces, ones, hw, ones, s32)
+        o16, s16 = device_step_from_capture(spec, cfg16, params, frames,
+                                            faces, ones, hw, ones, s16)
+        max_dp = max(max_dp, float(jnp.max(jnp.abs(
+            o32["face_probability"] - o16["face_probability"]))))
+        verdicts_equal &= bool(jnp.all(o32["verdict"] == o16["verdict"]))
+    return {"max_prob_diff": max_dp, "verdicts_equal": verdicts_equal,
+            "ok": verdicts_equal and max_dp < 1e-3}
 
 
 def bench_e2e(n_streams=64, frames_per_stream=12):
@@ -155,19 +207,47 @@ def bench_e2e(n_streams=64, frames_per_stream=12):
         "fps": n_ok / elapsed if elapsed > 0 else 0.0,
         "req_ms_p95": float(np.percentile(lat, 95) * 1000) if lat else -1.0,
         "errors": len(errs),
+        "first_error": (f"{type(errs[0]).__name__}: {errs[0]}"[:160]
+                        if errs else ""),
     }
 
 
 def main():
-    core = bench_core()
+    import jax
+    try:
+        # persistent compile cache: repeat bench runs skip the ~40 s/program
+        # XLA compiles (same mechanism as tests/conftest.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    core32 = bench_core()
+    # bf16 headline iff the parity guard holds (probabilities within the
+    # 1e-3 north-star budget AND identical verdicts on a fresh drill).
+    mode_txt = "fp32 parity mode"
+    core = core32
+    try:
+        guard = bf16_parity_guard()
+        if guard["ok"]:
+            core16 = bench_core(bf16=True)
+            if core16["fps"] > core32["fps"]:
+                core = core16
+                mode_txt = (
+                    "bf16 MXU mode, parity-guarded (max prob drift vs fp32 "
+                    f"{guard['max_prob_diff']:.1e} < 1e-3, verdicts equal; "
+                    f"fp32 mode: {core32['fps']:.0f} fps, "
+                    f"p95 {core32['tick_ms_p95']:.1f} ms)")
+    except Exception:   # pragma: no cover - guard never blocks the bench
+        pass
     try:
         e2e = bench_e2e()
         import os
         ncpu = os.cpu_count() or 1
+        err_txt = (f" [{e2e['first_error']}]" if e2e.get("first_error") else "")
         e2e_txt = (f"; e2e incl. host prep (native C++ prep, {ncpu}-core dev "
                    f"host, TPU behind ~50MB/s tunnel): {e2e['fps']:.0f} fps, "
                    f"req p95 {e2e['req_ms_p95']:.0f} ms, "
-                   f"{e2e['errors']} errors — host-CPU/tunnel bound, "
+                   f"{e2e['errors']} errors{err_txt} — host-CPU/tunnel bound, "
                    "prep is ~12 ms/frame/core and embarrassingly parallel")
     except Exception as e:   # pragma: no cover
         e2e_txt = f"; e2e phase failed: {e}"
@@ -175,12 +255,19 @@ def main():
     print(json.dumps({
         "metric": "serving_frames_per_sec_per_chip",
         "value": round(core["fps"], 1),
-        "unit": ("frames/s aggregate over 64 streams, fp32 parity mode "
+        "unit": (f"frames/s aggregate over 64 streams, {mode_txt} "
                  f"(steady-state tick p50 {core['tick_ms_p50']:.1f} ms / "
                  f"p95 {core['tick_ms_p95']:.1f} ms, resize+forensics+"
                  "classify+verdict per tick" + e2e_txt + ")"),
         "vs_baseline": round(core["fps"] / 10.0, 2),
     }))
+    import os
+    import sys
+    sys.stdout.flush()
+    # hard exit: the e2e engine's daemon threads can hold remote-runtime
+    # client state whose interpreter-teardown order aborts (SIGABRT after
+    # the result is printed); the bench contract is the JSON line + rc 0
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -154,3 +154,23 @@ def extract_face_region(frame: np.ndarray, box: Box, padding: int = 0) -> np.nda
     x1 = min(frame.shape[1], x + w + padding)
     y1 = min(frame.shape[0], y + h + padding)
     return frame[y0:y1, x0:x1]
+
+
+def draw_bounding_boxes(frame: np.ndarray, faces: List[Box],
+                        color=(0, 255, 0), thickness: int = 2) -> np.ndarray:
+    """Annotate a copy of the frame with face boxes (face_detection.py:
+    125-143 — unused by the reference serving path but part of its API)."""
+    out = frame.copy()
+    import cv2
+    for (x, y, w, h) in faces:
+        cv2.rectangle(out, (x, y), (x + w, y + h), color, thickness)
+    return out
+
+
+def detect_and_extract_faces(frame: np.ndarray, padding: int = 10,
+                             detector: Optional[FaceDetector] = None):
+    """Detect then crop every face with padding; returns (faces, regions)
+    (face_detection.py:170-188)."""
+    det = detector or FaceDetector()
+    faces = det(frame)
+    return faces, [extract_face_region(frame, b, padding) for b in faces]
