@@ -88,6 +88,13 @@ class DetectorConfig:
     # approximation (CLAHE and resize commuted) that removes per-face host
     # work; resize-aligner mode only (serving/multi.py enforces).
     clahe_device: bool = False
+    # Clip-attention verdict mode (BASELINE config 5): when clip_window > 0
+    # the per-stream majority vote is REPLACED by a temporal-attention head
+    # (models/temporal_head.py) over a ring of the last clip_window backbone
+    # feature vectors; UNCERTAIN until clip_min_frames face frames are seen.
+    clip_window: int = 0
+    clip_min_frames: int = 10          # mirrors the vote-window gating
+    clip_feature_dim: int = 1280       # B0 pooled features; 384/768 for ViT
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
     forensic: ForensicConfig = dataclasses.field(default_factory=ForensicConfig)
 

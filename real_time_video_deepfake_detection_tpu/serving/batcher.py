@@ -30,9 +30,16 @@ from ..ops import forensics
 from ..ops.resize import resize_bilinear_u8_cv2
 from ..pipeline.classify import preprocess_aligned
 from ..models.efficientnet import forward
+from ..models.efficientnet import apply_head, extract_features
+from ..models.temporal_head import (
+    ClipState, TemporalHeadSpec, clip_state_push, clip_verdict,
+)
 from ..state.forensic_state import ForensicState, forensic_state_init_batch
-from ..state.tracker import TrackerState, tracker_init_batch, tracker_update, \
-    tracker_verdict, tracker_temporal_average, tracker_stability
+from ..state.tracker import (
+    TrackerState, VERDICT_FAKE, VERDICT_REAL, VERDICT_UNCERTAIN,
+    tracker_init_batch, tracker_update, tracker_verdict,
+    tracker_temporal_average, tracker_stability,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -41,13 +48,27 @@ class StreamStates:
     forensic: ForensicState   # batched (leading stream axis)
     tracker: TrackerState     # batched
     frame_count: jax.Array    # i32[N] server-semantics per-stream frame count
+    # Clip-attention mode (BASELINE config 5): per-stream ring of backbone
+    # features. Allocated (1,1)-tiny when cfg.clip_window == 0.
+    clip: ClipState
+
+
+def clip_head_spec(cfg: DetectorConfig) -> TemporalHeadSpec:
+    return TemporalHeadSpec(feature_dim=cfg.clip_feature_dim,
+                            window=max(cfg.clip_window, 1))
 
 
 def init_stream_states(n_streams: int, cfg: DetectorConfig = DetectorConfig()) -> StreamStates:
+    window = max(cfg.clip_window, 1)
+    fdim = cfg.clip_feature_dim if cfg.clip_window > 0 else 1
     return StreamStates(
         forensic=forensic_state_init_batch(n_streams, cfg.forensic),
         tracker=tracker_init_batch(n_streams, cfg.tracker),
         frame_count=jnp.zeros((n_streams,), jnp.int32),
+        clip=ClipState(
+            feats=jnp.zeros((n_streams, window, fdim), jnp.float32),
+            n=jnp.zeros((n_streams,), jnp.int32),
+            pos=jnp.zeros((n_streams,), jnp.int32)),
     )
 
 
@@ -115,14 +136,18 @@ def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
     else:
         x = jax.vmap(lambda f: preprocess_aligned(
             f.astype(jnp.float32), cfg.model_input_size))(faces_raw)
+    # clip mode: params = {"backbone": b0 pytree, "clip_head": head pytree}
+    backbone = params["backbone"] if cfg.clip_window > 0 else params
     if cfg.bf16_inference:
         p16 = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16)
-            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, params)
-        logits = forward(p16, x.astype(jnp.bfloat16), spec, train=False)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, backbone)
+        feats = extract_features(p16, x.astype(jnp.bfloat16), spec, train=False)
+        logits = apply_head(p16, feats, train=False)
         face_prob = jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
     else:
-        logits = forward(params, x, spec, train=False)
+        feats = extract_features(backbone, x, spec, train=False)
+        logits = apply_head(backbone, feats, train=False)
         face_prob = jax.nn.sigmoid(logits[:, 0])
     small = (face_hw[:, 0] < cfg.small_face_px) | (face_hw[:, 1] < cfg.small_face_px)
     face_prob = jnp.clip(
@@ -140,6 +165,22 @@ def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
     temporal_avg = jax.vmap(tracker_temporal_average)(new_tracker)
     stability = jax.vmap(tracker_stability)(new_tracker)
 
+    new_clip = states.clip
+    if cfg.clip_window > 0:
+        # Clip-attention verdict (BASELINE config 5): push this frame's
+        # backbone features into the per-stream ring, score the window with
+        # the temporal-attention head, and REPLACE the majority vote.
+        hspec = clip_head_spec(cfg)
+        new_clip = jax.vmap(clip_state_push)(
+            states.clip, feats.astype(jnp.float32), has_face & active)
+        clip_prob = jax.vmap(lambda s: clip_verdict(
+            params["clip_head"], s, hspec))(new_clip)
+        verdict = jnp.where(
+            new_clip.n >= cfg.clip_min_frames,
+            jnp.where(clip_prob > cfg.detection_threshold,
+                      VERDICT_FAKE, VERDICT_REAL),
+            VERDICT_UNCERTAIN)
+
     new_counts = states.frame_count + active.astype(jnp.int32)
 
     out = {
@@ -152,7 +193,10 @@ def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
         "frame_count": new_counts,
         "full_forensic": full,
     }
-    return out, StreamStates(new_forensic, new_tracker, new_counts)
+    if cfg.clip_window > 0:
+        out["clip_probability"] = clip_prob
+        out["clip_frames"] = new_clip.n
+    return out, StreamStates(new_forensic, new_tracker, new_counts, new_clip)
 
 
 device_step = partial(jax.jit, static_argnums=(0, 1))(_step_core)

@@ -57,12 +57,23 @@ class MultiStreamEngine:
     def __init__(self, cfg: DetectorConfig = DetectorConfig(),
                  server_cfg: ServerConfig = ServerConfig(),
                  params=None, spec: Optional[EfficientNetSpec] = None,
-                 aligner=None, face_detector: Optional[FaceDetector] = None):
+                 aligner=None, face_detector: Optional[FaceDetector] = None,
+                 clip_head_params=None):
         self.cfg = cfg
         self.server_cfg = server_cfg
         self.spec = spec or EfficientNetSpec.make("b0")
         self.params = params if params is not None else init_params(
             jax.random.PRNGKey(0), self.spec)
+        if cfg.clip_window > 0:
+            # clip-attention verdict mode: the device step takes the
+            # backbone + temporal head as one pytree (serving/batcher.py)
+            if clip_head_params is None:
+                from ..models import temporal_head as th
+                from .batcher import clip_head_spec
+                clip_head_params = th.init_params(
+                    jax.random.PRNGKey(1), clip_head_spec(cfg))
+            self.params = {"backbone": self.params,
+                           "clip_head": clip_head_params}
         self.face_detector = face_detector or FaceDetector(
             confidence_threshold=cfg.ssd_confidence_threshold,
             min_face_px=cfg.min_face_px, backend=cfg.face_backend)
@@ -407,6 +418,9 @@ class MultiStreamEngine:
                 x, y, fw, fh = p.bbox
                 resp["face_bbox"] = {"x": int(x), "y": int(y),
                                      "width": int(fw), "height": int(fh)}
+            if "clip_probability" in out:   # clip-attention mode (config 5)
+                resp["clip_probability"] = float(out["clip_probability"][i])
+                resp["clip_frames"] = int(out["clip_frames"][i])
             p.result = resp
             p.event.set()
 

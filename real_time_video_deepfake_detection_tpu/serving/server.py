@@ -238,8 +238,21 @@ def main(argv=None):
                    help="facenet-pytorch pnet/rnet/onet weights (dir or .pt); "
                         "enables the JAX MTCNN aligner in the face path "
                         "(deepfake_detection.py:24-28)")
+    p.add_argument("--clip-window", type=int, default=0,
+                   help="batched mode only: replace the majority vote with "
+                        "a temporal-attention head over the last N backbone "
+                        "feature vectors (BASELINE config 5); 0 = off")
+    p.add_argument("--clip-head", default=None,
+                   help="temporal-head weights (.npz pytree); random init "
+                        "when omitted (demo mode)")
+    p.add_argument("--face-backend", default="auto",
+                   choices=["auto", "ssd", "haar", "haar_native", "heuristic"],
+                   help="pin a detector-ladder rung (pipeline/faces.py)")
     args = p.parse_args(argv)
-    cfg = DetectorConfig().with_threshold(args.threshold)
+    import dataclasses as _dc
+    cfg = _dc.replace(DetectorConfig().with_threshold(args.threshold),
+                      face_backend=args.face_backend,
+                      clip_window=args.clip_window)
     aligner = None
     if args.mtcnn_weights:
         from ..models.mtcnn import MTCNNAligner
@@ -256,7 +269,13 @@ def main(argv=None):
         if args.weights:
             from ..utils.torch_convert import load_checkpoint as load_torch
             params, _ = load_torch(args.weights)
-        engine = MultiStreamEngine(cfg, scfg, params=params, aligner=aligner)
+        clip_head = None
+        if args.clip_head:
+            from ..train.checkpoint import load_checkpoint as load_tree
+            clip_head, _, _ = load_tree(args.clip_head,
+                                        restore_host_rng=False)
+        engine = MultiStreamEngine(cfg, scfg, params=params, aligner=aligner,
+                                   clip_head_params=clip_head)
         app = create_batched_app(engine, scfg)
 
         class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):

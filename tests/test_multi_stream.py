@@ -221,3 +221,40 @@ def test_clahe_device_rejects_mtcnn_aligner():
     with pytest.raises(ValueError):
         MSE(cfg, ServerConfig(max_streams=2, max_batch=2),
             aligner=FakeMTCNN())
+
+
+def test_clip_attention_verdict_mode():
+    """BASELINE config 5: clip_window>0 replaces the majority vote with the
+    temporal-attention head. UNCERTAIN until clip_min_frames face frames,
+    then verdict == clip_probability thresholded; /reset clears the ring."""
+    cfg = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55), face_backend="heuristic",
+        clip_window=8, clip_min_frames=3)
+    e = MultiStreamEngine(cfg, ServerConfig(
+        max_streams=2, max_batch=2, batch_timeout_ms=2.0,
+        min_request_interval=0.0))
+    try:
+        def face_frame(t):
+            f = np.full((240, 320, 3), 120, np.uint8)
+            cv2.ellipse(f, (160, 120 + t), (60, 80), 0, 0, 360,
+                        (140, 160, 210), -1)
+            return f
+
+        rs = [e.analyze(face_frame(t), "clip") for t in range(5)]
+        for t, r in enumerate(rs):
+            assert "clip_probability" in r, r
+            assert r["clip_frames"] == t + 1
+            if t + 1 < 3:
+                assert r["confidence_level"] == "UNCERTAIN", (t, r)
+            else:
+                want = "FAKE" if r["clip_probability"] > 0.55 else "REAL"
+                assert r["confidence_level"] == want, (t, r)
+        # no-face frames do not advance the clip ring
+        r_noface = e.analyze(_frame(3), "clip")
+        assert r_noface["clip_frames"] == 5
+        e.reset("clip")
+        r = e.analyze(face_frame(0), "clip")
+        assert r["clip_frames"] == 1
+        assert r["confidence_level"] == "UNCERTAIN"
+    finally:
+        e.shutdown()

@@ -182,3 +182,45 @@ def test_backbone_freezing():
     assert float(jnp.abs(state2.params["blocks"][n_frozen]["project"]
                          - params["blocks"][n_frozen]["project"]).max()) > 0.0
     assert max_delta(state2.params["fc"], params["fc"]) > 0.0
+
+
+@pytest.mark.slow
+def test_clip_head_learns_temporal_pattern():
+    """The temporal-attention head (config 5) learns a purely TEMPORAL
+    synthetic rule a per-frame majority vote cannot express: 'fake' clips
+    have oscillating features, 'real' clips constant ones, with identical
+    marginal frame distributions."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from real_time_video_deepfake_detection_tpu.models.temporal_head import (
+        TemporalHeadSpec, forward,
+    )
+    from real_time_video_deepfake_detection_tpu.train.clip_head import (
+        train_clip_head,
+    )
+
+    rng = np.random.default_rng(0)
+    N, T, D = 128, 12, 16
+    base = rng.normal(size=(N, 1, D)).astype(np.float32)
+    sign = rng.integers(0, 2, size=N)          # 1 = fake (oscillates)
+    osc = np.where(np.arange(T)[None, :, None] % 2 == 0, 1.0, -1.0)
+    feats = base * np.where(sign[:, None, None] == 1, osc, 1.0)
+    feats = (feats + rng.normal(scale=0.05, size=(N, T, D))).astype(np.float32)
+    labels = sign.astype(np.float32)
+
+    hspec = TemporalHeadSpec(feature_dim=D, dim=32, depth=1, heads=2, window=T)
+    params, log = train_clip_head(jax.random.PRNGKey(0), jnp.asarray(feats),
+                                  jnp.asarray(labels), hspec,
+                                  epochs=40, batch_size=32, lr=3e-3)
+    assert log[-1]["acc"] > 0.9, log[-1]
+
+    # held-out clips from the same generator
+    base2 = rng.normal(size=(32, 1, D)).astype(np.float32)
+    sign2 = rng.integers(0, 2, size=32)
+    f2 = base2 * np.where(sign2[:, None, None] == 1, osc, 1.0)
+    f2 = (f2 + rng.normal(scale=0.05, size=(32, T, D))).astype(np.float32)
+    mask = jnp.ones((32, T), bool)
+    probs = jax.nn.sigmoid(forward(params, jnp.asarray(f2), mask, hspec))
+    acc = float(np.mean((np.asarray(probs) > 0.5) == (sign2 == 1)))
+    assert acc > 0.85, acc
