@@ -132,13 +132,15 @@ def _fdct_1d(d, shift_out: int):
 
 
 def fdct_islow(blocks: jax.Array) -> jax.Array:
-    """jpeg_fdct_islow over (N, 8, 8) level-shifted int32 samples. Output is
-    the DCT scaled by 8 (libjpeg convention)."""
+    """jpeg_fdct_islow over (8, 8, N) level-shifted int32 samples (lane-major:
+    the block index rides the last — TPU lane — axis so every scalar of the
+    8x8 integer DCT vectorizes over all blocks; the (N, 8, 8) layout left 120
+    of 128 lanes idle). Output is the DCT scaled by 8 (libjpeg convention)."""
     x = blocks.astype(jnp.int32)
-    rows = _fdct_1d(tuple(x[:, :, i] for i in range(8)), shift_out=1)
-    x = jnp.stack(rows, axis=-1)           # (N, 8, 8) after row pass
-    cols = _fdct_1d(tuple(x[:, i, :] for i in range(8)), shift_out=2)
-    return jnp.stack(cols, axis=-2)        # back to (N, 8, 8)
+    rows = _fdct_1d(tuple(x[:, i, :] for i in range(8)), shift_out=1)
+    x = jnp.stack(rows, axis=1)            # (8, 8, N) after row pass
+    cols = _fdct_1d(tuple(x[i, :, :] for i in range(8)), shift_out=2)
+    return jnp.stack(cols, axis=0)         # back to (8, 8, N)
 
 
 def _idct_1d(d, pass2: bool):
@@ -189,13 +191,14 @@ def _idct_1d(d, pass2: bool):
 
 
 def idct_islow(coefs: jax.Array) -> jax.Array:
-    """jpeg_idct_islow over (N, 8, 8) dequantized int32 coefficients. Returns
-    centered samples (add 128 and clamp for u8)."""
+    """jpeg_idct_islow over (8, 8, N) dequantized int32 coefficients
+    (lane-major, see fdct_islow). Returns centered samples (add 128 and
+    clamp for u8)."""
     x = coefs.astype(jnp.int32)
-    cols = _idct_1d(tuple(x[:, i, :] for i in range(8)), pass2=False)
-    x = jnp.stack(cols, axis=-2)
-    rows = _idct_1d(tuple(x[:, :, i] for i in range(8)), pass2=True)
-    return jnp.stack(rows, axis=-1)
+    cols = _idct_1d(tuple(x[i, :, :] for i in range(8)), pass2=False)
+    x = jnp.stack(cols, axis=0)
+    rows = _idct_1d(tuple(x[:, i, :] for i in range(8)), pass2=True)
+    return jnp.stack(rows, axis=1)
 
 
 # --------------------------------------------------------------- color convert
@@ -273,12 +276,13 @@ def h2v2_fancy_upsample(c: jax.Array) -> jax.Array:
 
 # ------------------------------------------------------------------- blockify
 def _to_blocks(plane: jax.Array) -> jax.Array:
+    """(h, w) -> (8, 8, n_blocks) lane-major blocks (see fdct_islow)."""
     h, w = plane.shape
-    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(1, 3, 0, 2).reshape(8, 8, -1)
 
 
 def _from_blocks(blocks: jax.Array, h: int, w: int) -> jax.Array:
-    return blocks.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    return blocks.reshape(8, 8, h // 8, w // 8).transpose(2, 0, 3, 1).reshape(h, w)
 
 
 def _roundtrip_plane(plane: jax.Array, qtab) -> jax.Array:
@@ -288,12 +292,12 @@ def _roundtrip_plane(plane: jax.Array, qtab) -> jax.Array:
     h, w = plane.shape
     blocks = _to_blocks(plane.astype(jnp.int32) - 128)
     dct = fdct_islow(blocks)
-    qt = jnp.asarray(qtab)
-    q = qt[None] << 3    # divisors are qval*8 (jcdctmgr.c)
+    qt = jnp.asarray(qtab)[:, :, None]   # broadcast over the lane axis
+    q = qt << 3          # divisors are qval*8 (jcdctmgr.c)
     # quantize: round-half-away division
     a = jnp.abs(dct)
     quant = jnp.sign(dct) * ((a + (q >> 1)) // q)
-    deq = quant * qt[None]
+    deq = quant * qt
     spatial = idct_islow(deq) + 128
     spatial = jnp.clip(spatial, 0, 255)
     return _from_blocks(spatial, h, w)
