@@ -146,3 +146,7 @@ class TrainConfig:
     early_stop_patience: int = 7
     image_size: int = 224
     seed: int = 42
+    # bf16 forward/backward with f32 master params — the TPU analogue of the
+    # reference's AMP (train.py:581,927); no loss scaler needed since bf16
+    # keeps fp32's exponent range (SURVEY.md §2.9).
+    bf16_compute: bool = False

@@ -103,6 +103,30 @@ def init_train_state(params, cfg: TrainConfig, total_steps: int,
     )
 
 
+def _cast_bf16(tree):
+    return jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, tree)
+
+
+def _cast_f32(tree):
+    return jax.tree.map(
+        lambda v: v.astype(jnp.float32)
+        if hasattr(v, "dtype") and v.dtype == jnp.bfloat16 else v, tree)
+
+
+def _forward_mixed(params, x, spec, rng, bf16: bool):
+    """forward_train, optionally with bf16 compute (the AMP analogue:
+    f32 master params cast at the jaxpr boundary — bf16 shares fp32's
+    exponent range so no GradScaler is needed; grads flow back f32 through
+    the cast). Logits and BN stats are returned in f32 either way."""
+    if not bf16:
+        return forward_train(params, x, spec, rng)
+    logits, bn_stats = forward_train(_cast_bf16(params),
+                                     x.astype(jnp.bfloat16), spec, rng)
+    return logits.astype(jnp.float32), _cast_f32(bn_stats)
+
+
 def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
                spec: EfficientNetSpec, cfg: TrainConfig,
                tx: optax.GradientTransformation):
@@ -111,7 +135,8 @@ def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
     rng, step_rng = jax.random.split(state.rng)
 
     def loss_fn(params):
-        logits, bn_stats = forward_train(params, images, spec, step_rng)
+        logits, bn_stats = _forward_mixed(params, images, spec, step_rng,
+                                          cfg.bf16_compute)
         loss = focal_loss_with_smoothing(
             logits[:, 0], labels, cfg.focal_gamma, cfg.focal_alpha,
             cfg.label_smoothing)
@@ -159,7 +184,8 @@ def fused_train_step(state: TrainState, imgs_u8: jax.Array, labels: jax.Array,
                                     cfg.mixup_alpha, cfg.cutmix_alpha)
 
     def loss_fn(params):
-        logits, bn_stats = forward_train(params, x, spec, k_drop)
+        logits, bn_stats = _forward_mixed(params, x, spec, k_drop,
+                                          cfg.bf16_compute)
         l = logits[:, 0]
         loss_a = focal_loss_with_smoothing(
             l, y_a, cfg.focal_gamma, cfg.focal_alpha, cfg.label_smoothing)

@@ -119,7 +119,7 @@ def train(args) -> dict:
     cfg = TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         image_size=args.image_size, seed=args.seed,
-        early_stop_patience=args.patience)
+        early_stop_patience=args.patience, bf16_compute=args.bf16)
     spec = EfficientNetSpec.make(args.backbone)
 
     out_dir = args.output_dir
@@ -254,6 +254,10 @@ def main(argv=None):
     p.add_argument("--warm-start", default=None,
                    help="best_model.pth (torch) or .npz to initialize from")
     p.add_argument("--output-dir", default="weights")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 forward/backward with f32 master params (the "
+                        "TPU analogue of the reference's AMP; no loss "
+                        "scaler needed)")
     p.add_argument("--num-devices", type=int, default=0,
                    help="devices for data-parallel training (0 = all visible)")
     args = p.parse_args(argv)

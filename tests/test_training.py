@@ -224,3 +224,44 @@ def test_clip_head_learns_temporal_pattern():
     probs = jax.nn.sigmoid(forward(params, jnp.asarray(f2), mask, hspec))
     acc = float(np.mean((np.asarray(probs) > 0.5) == (sign2 == 1)))
     assert acc > 0.85, acc
+
+
+@pytest.mark.slow
+def test_bf16_train_step_close_to_f32():
+    """bf16_compute (the AMP analogue) stays close to the f32 step on one
+    update and keeps everything finite."""
+    import dataclasses
+    from functools import partial
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from real_time_video_deepfake_detection_tpu.core.config import TrainConfig
+    from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+        EfficientNetSpec, init_params,
+    )
+    from real_time_video_deepfake_detection_tpu.train.steps import (
+        init_train_state, make_optimizer, train_step,
+    )
+
+    spec = EfficientNetSpec.make("b0")
+    cfg32 = TrainConfig(batch_size=4)
+    cfg16 = dataclasses.replace(cfg32, bf16_compute=True)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    tx = make_optimizer(cfg32, total_steps=10)
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    labels = jnp.asarray((rng.random(4) > 0.5), jnp.float32)
+
+    s32 = init_train_state(params, cfg32, total_steps=10, tx=tx)
+    s32, m32 = jax.jit(partial(train_step, spec=spec, cfg=cfg32, tx=tx))(
+        s32, images, labels)
+    s16 = init_train_state(params, cfg16, total_steps=10, tx=tx)
+    s16, m16 = jax.jit(partial(train_step, spec=spec, cfg=cfg16, tx=tx))(
+        s16, images, labels)
+
+    assert np.isfinite(float(m16["loss"]))
+    assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.05
+    # master params stay f32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(s16.params)
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
