@@ -245,3 +245,36 @@ def device_step_from_capture(spec: EfficientNetSpec, cfg: DetectorConfig,
     small = jax.vmap(lambda f: resize_bilinear_u8_cv2(f, h, w))(frames_capture_u8)
     return device_step(spec, cfg, params, small, faces_raw, has_face,
                        face_hw, active, states)
+
+
+def make_sharded_device_step(mesh, spec: EfficientNetSpec,
+                             cfg: DetectorConfig):
+    """Serving tick sharded over a ("data",) mesh: the STREAM axis is
+    partitioned across chips — each chip runs resize+forensics+classify+
+    tracker for its shard of streams, params replicated. There is no
+    cross-stream dataflow inside a tick, so XLA emits zero collectives in
+    steady state (the ICI only carries the one-time replicated-param
+    broadcast): aggregate throughput scales linearly with chips. Multi-chip
+    serving analogue of train/steps.make_sharded_train_step; exercised on
+    the virtual CPU mesh by tests/test_multi_stream.py and the driver
+    dryrun.
+
+    Returns step(params, frames_u8, faces_raw, has_face, face_hw, active,
+    states) -> (out, new_states); n_streams must be divisible by the mesh
+    size, and inputs should be placed with `serving_shardings(mesh)`.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        partial(_step_core, spec, cfg),
+        in_shardings=(repl, data, data, data, data, data, data),
+        out_shardings=(data, data),
+    )
+
+
+def serving_shardings(mesh):
+    """(replicated params sharding, stream-axis sharding) for placing the
+    sharded tick's inputs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))

@@ -258,3 +258,53 @@ def test_clip_attention_verdict_mode():
         assert r["confidence_level"] == "UNCERTAIN"
     finally:
         e.shutdown()
+
+
+def test_sharded_serving_tick_matches_single_device():
+    """Multi-chip serving: the tick sharded over the 8-device CPU mesh
+    (streams partitioned across devices) produces identical outputs and
+    state to the unsharded tick."""
+    import jax.numpy as jnp
+    from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+        EfficientNetSpec, init_params,
+    )
+    from real_time_video_deepfake_detection_tpu.parallel.mesh import make_mesh
+    from real_time_video_deepfake_detection_tpu.serving.batcher import (
+        device_step, init_stream_states, make_sharded_device_step,
+        serving_shardings,
+    )
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    N = 16
+    spec = EfficientNetSpec.make("b0")
+    cfg = DetectorConfig().with_threshold(0.55)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    states = init_stream_states(N, cfg)
+    r = np.random.default_rng(11)
+    frames = jnp.asarray(r.integers(0, 256, (N, 256, 256, 3), dtype=np.uint8))
+    faces = jnp.asarray(r.random((N, 160, 160, 3), dtype=np.float32) * 255)
+    has_face = jnp.asarray(r.random(N) > 0.3)
+    face_hw = jnp.full((N, 2), 100, jnp.int32)
+    active = jnp.ones((N,), bool)
+
+    out1, st1 = device_step(spec, cfg, params, frames, faces, has_face,
+                            face_hw, active, states)
+
+    mesh = make_mesh(8)
+    repl, data = serving_shardings(mesh)
+    step = make_sharded_device_step(mesh, spec, cfg)
+    out8, st8 = step(jax.device_put(params, repl),
+                     jax.device_put(frames, data),
+                     jax.device_put(faces, data),
+                     jax.device_put(has_face, data),
+                     jax.device_put(face_hw, data),
+                     jax.device_put(active, data),
+                     jax.device_put(states, data))
+
+    for k in out1:
+        np.testing.assert_allclose(np.asarray(out1[k]), np.asarray(out8[k]),
+                                   atol=2e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(st1),
+                    jax.tree_util.tree_leaves(st8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
