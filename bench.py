@@ -191,8 +191,10 @@ def bench_e2e(n_streams=64, frames_per_stream=12):
             with lat_lock:
                 lat.append(time.perf_counter() - t0)
 
-    # warm the engine's exact batch shapes
+    # warm the engine's exact batch shapes; warm-up latencies must not
+    # leak into the measured set
     client("warm")
+    lat.clear()
     t0 = time.perf_counter()
     threads = [threading.Thread(target=client, args=(k,))
                for k in range(n_streams)]

@@ -99,39 +99,44 @@ void resize_gray_cv2(const uint8_t* src, int sh, int sw, uint8_t* dst,
 struct Stage {
   int ntrees;
   float threshold;
-  // per stump, 12 corner offsets (relative to window origin in the current
-  // scaled image) and signed weights in the fixed corner order
-  // {tl,tr,bl,br} x 3 rects — matching the numpy einsum reduction order.
-  std::vector<int64_t> offs;   // ntrees*12, rebuilt per stride
-  std::vector<double> sw;      // ntrees*12
   std::vector<float> node_thresh, leaf0, leaf1;
-  // original 24x24-window rects, kept for offset rebuilds
-  std::vector<int32_t> rects;  // ntrees*3*4 (x,y,w,h)
+  std::vector<int32_t> rects;  // ntrees*3*4 (x,y,w,h) in the 24x24 window
   std::vector<float> weights;  // ntrees*3
 };
 
 struct Cascade {
   int win_w, win_h;
   std::vector<Stage> stages;
-  int64_t cached_stride = -1;
+};
 
-  void set_stride(int64_t stride) {
-    if (stride == cached_stride) return;
-    cached_stride = stride;
+// Stride-dependent per-stump corner offsets + signed weights, in the fixed
+// corner order {tl,tr,bl,br} x 3 rects (matching the numpy einsum reduction
+// order). Built per haar_detect_raw call so the shared Cascade handle stays
+// immutable — concurrent detections from the threaded server are safe.
+struct ScaleTables {
+  // per stage: ntrees*12 offsets / weights
+  std::vector<std::vector<int64_t>> offs;
+  std::vector<std::vector<double>> sw;
+
+  void build(const Cascade& c, int64_t stride) {
     static const double sign[4] = {1.0, -1.0, -1.0, 1.0};
-    for (Stage& st : stages) {
-      st.offs.assign(static_cast<size_t>(st.ntrees) * 12, 0);
-      st.sw.assign(static_cast<size_t>(st.ntrees) * 12, 0.0);
+    offs.resize(c.stages.size());
+    sw.resize(c.stages.size());
+    for (size_t s = 0; s < c.stages.size(); ++s) {
+      const Stage& st = c.stages[s];
+      offs[s].assign(static_cast<size_t>(st.ntrees) * 12, 0);
+      sw[s].assign(static_cast<size_t>(st.ntrees) * 12, 0.0);
       for (int t = 0; t < st.ntrees; ++t) {
         for (int r = 0; r < 3; ++r) {
           const int32_t* q = &st.rects[(static_cast<size_t>(t) * 3 + r) * 4];
           const int64_t x = q[0], y = q[1], w = q[2], h = q[3];
           const double wt = st.weights[static_cast<size_t>(t) * 3 + r];
-          const int64_t c[4] = {y * stride + x, y * stride + x + w,
-                                (y + h) * stride + x, (y + h) * stride + x + w};
+          const int64_t cor[4] = {y * stride + x, y * stride + x + w,
+                                  (y + h) * stride + x,
+                                  (y + h) * stride + x + w};
           for (int k = 0; k < 4; ++k) {
-            st.offs[(static_cast<size_t>(t) * 12) + r * 4 + k] = c[k];
-            st.sw[(static_cast<size_t>(t) * 12) + r * 4 + k] = wt * sign[k];
+            offs[s][(static_cast<size_t>(t) * 12) + r * 4 + k] = cor[k];
+            sw[s][(static_cast<size_t>(t) * 12) + r * 4 + k] = wt * sign[k];
           }
         }
       }
@@ -177,16 +182,20 @@ void* haar_create(int win_w, int win_h, int n_stages, const int* ntrees,
 void haar_destroy(void* h) { delete static_cast<Cascade*>(h); }
 
 // Writes raw (x, y, w, h) windows in ORIGINAL image coordinates for every
-// pyramid scale; returns the count (truncated at cap/4 boxes).
+// pyramid scale. Returns the TOTAL number of passing windows, which may
+// exceed cap/4 — only the first cap/4 are written, and the caller must
+// retry with a larger buffer (or fall back) when the return value is
+// bigger, so truncation is never silent.
 int haar_detect_raw(void* hptr, const uint8_t* gray, int H, int W,
                     double scale_factor, int min_w, int min_h, int max_w,
                     int max_h, int* out, int cap) {
-  Cascade& c = *static_cast<Cascade*>(hptr);
+  const Cascade& c = *static_cast<const Cascade*>(hptr);
   int n_out = 0;
   const int cap_boxes = cap / 4;
 
   std::vector<uint8_t> scaled;
   std::vector<int64_t> ii, ii2;
+  ScaleTables tables;
 
   for (double factor = 1.0;; factor *= scale_factor) {
     const int win_w = cv_round(c.win_w * factor);
@@ -219,7 +228,7 @@ int haar_detect_raw(void* hptr, const uint8_t* gray, int H, int W,
       }
     }
 
-    c.set_stride(stride);
+    tables.build(c, stride);
     const int ystep = factor > 2.0 ? 1 : 2;
     const int nx = sw - c.win_w;   // exclusive bound (processingRectSize)
     const int ny = sh - c.win_h;
@@ -241,10 +250,11 @@ int haar_detect_raw(void* hptr, const uint8_t* gray, int H, int W,
         const int64_t base = static_cast<int64_t>(y) * stride + x;
 
         bool pass = true;
-        for (const Stage& st : c.stages) {
+        for (size_t s = 0; s < c.stages.size(); ++s) {
+          const Stage& st = c.stages[s];
           double vote_sum = 0.0;
-          const int64_t* offs = st.offs.data();
-          const double* swt = st.sw.data();
+          const int64_t* offs = tables.offs[s].data();
+          const double* swt = tables.sw[s].data();
           for (int t = 0; t < st.ntrees; ++t) {
             double v = 0.0;
             const int64_t* o = offs + static_cast<size_t>(t) * 12;
@@ -260,12 +270,14 @@ int haar_detect_raw(void* hptr, const uint8_t* gray, int H, int W,
             break;
           }
         }
-        if (pass && n_out < cap_boxes) {
-          out[n_out * 4 + 0] = cv_round(x * factor);
-          out[n_out * 4 + 1] = cv_round(y * factor);
-          out[n_out * 4 + 2] = win_w;
-          out[n_out * 4 + 3] = win_h;
-          ++n_out;
+        if (pass) {
+          if (n_out < cap_boxes) {
+            out[n_out * 4 + 0] = cv_round(x * factor);
+            out[n_out * 4 + 1] = cv_round(y * factor);
+            out[n_out * 4 + 2] = win_w;
+            out[n_out * 4 + 3] = win_h;
+          }
+          ++n_out;  // counts past the cap so overflow is detectable
         }
       }
     }

@@ -122,6 +122,13 @@ class ServerConfig:
     # In-flight device ticks the batcher may dispatch before the drainer has
     # read back results (depth-2 overlaps host<->device sync with compute).
     pipeline_depth: int = 2
+    # When the MTCNN aligner is active, expand each detector box up to a
+    # multiple of this (clamped to the frame) before cropping. The JAX MTCNN
+    # compiles one program per exact crop size (facenet is eager — any jit
+    # port must); quantizing the crop bounds the number of compiled sizes in
+    # live serving where boxes wobble every frame. 0 = exact boxes
+    # (reference behavior, deepfake_detection.py:376-383).
+    align_box_multiple: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

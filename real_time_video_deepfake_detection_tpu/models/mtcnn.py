@@ -515,12 +515,14 @@ class MTCNNAligner:
         if min(h, w) < self.minsize or not self._scales(h, w):
             return None, 0.0, None
         key = (h, w)
-        if key not in self._compiled:
+        fn = self._compiled.pop(key, None)
+        if fn is None:
             if len(self._compiled) >= self.max_compiled:
-                self._compiled.pop(next(iter(self._compiled)))
-            self._compiled[key] = self._detect_fn(h, w)
+                self._compiled.pop(next(iter(self._compiled)))  # true LRU
+            fn = self._detect_fn(h, w)
+        self._compiled[key] = fn   # (re-)insert most-recently-used last
         rgb = jnp.asarray(face_bgr[..., ::-1].astype(np.float32))
-        face, score, box = self._compiled[key](rgb)
+        face, score, box = fn(rgb)
         if float(score) <= 0.0:
             return None, 0.0, None
         return np.asarray(face), float(score), np.asarray(box)

@@ -92,6 +92,7 @@ class FaceDetector:
             self._ssd = SSDRes10.from_caffemodel(ssd_weights_path)
         self._ok = {r: True for r in self._LADDER}
         self._ok["heuristic"] = enable_heuristic
+        self._probed: dict = {}
         if backend != "auto":
             if backend not in self._LADDER:
                 raise ValueError(f"unknown face backend {backend!r}")
@@ -100,18 +101,24 @@ class FaceDetector:
                 self._ok[r] = False
 
     def _available(self, rung: str) -> bool:
+        """Availability probes run ONCE and are cached both ways (the cv2
+        probe re-parses the cascade XML — far too slow per frame)."""
         if not self._ok[rung]:
             return False
         if rung == "ssd":
             return self._ssd is not None
+        cached = self._probed.get(rung)
+        if cached is not None:
+            return cached
         if rung == "haar":
-            self._ok[rung] = haar_available()
-            return self._ok[rung]
-        if rung == "haar_native":
+            ok = haar_available()
+        elif rung == "haar_native":
             from ..models.haar_cascade import native_haar_available
-            self._ok[rung] = native_haar_available()
-            return self._ok[rung]
-        return True
+            ok = native_haar_available()
+        else:
+            ok = True
+        self._probed[rung] = ok
+        return ok
 
     @property
     def backend(self) -> str:
@@ -143,7 +150,11 @@ class FaceDetector:
             try:
                 return self._detect_with(r, frame_bgr)
             except Exception:
-                self._ok[r] = False   # degrade permanently, try next rung
+                # fall through for THIS frame only — the reference retries
+                # its primary on the next call (face_detection.py:63-68), so
+                # a transient runtime error must not disable a rung forever
+                # (availability probes are what's cached, in _available)
+                continue
         return []
 
 

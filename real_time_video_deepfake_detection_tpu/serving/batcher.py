@@ -175,8 +175,11 @@ def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
             states.clip, feats.astype(jnp.float32), has_face & active)
         clip_prob = jax.vmap(lambda s: clip_verdict(
             params["clip_head"], s, hspec))(new_clip)
+        # the ring caps n at clip_window, so a window smaller than
+        # clip_min_frames must still eventually leave UNCERTAIN
+        min_frames = min(cfg.clip_min_frames, cfg.clip_window)
         verdict = jnp.where(
-            new_clip.n >= cfg.clip_min_frames,
+            new_clip.n >= min_frames,
             jnp.where(clip_prob > cfg.detection_threshold,
                       VERDICT_FAKE, VERDICT_REAL),
             VERDICT_UNCERTAIN)

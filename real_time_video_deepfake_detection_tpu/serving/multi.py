@@ -114,7 +114,7 @@ class MultiStreamEngine:
         # wall clock; here per-stage EWMAs + batch occupancy feed /metrics).
         self.metrics = {
             "ticks": 0, "frames_total": 0,
-            "ewma_device_ms": 0.0, "ewma_host_prep_ms": 0.0,
+            "ewma_tick_latency_ms": 0.0, "ewma_host_prep_ms": 0.0,
             "ewma_batch_size": 0.0, "max_batch_seen": 0,
         }
 
@@ -268,6 +268,12 @@ class MultiStreamEngine:
         bbox = None
         if faces:
             x, y, fw, fh = faces[0]
+            m = self.server_cfg.align_box_multiple
+            if m > 0 and type(self.aligner).__name__ == "MTCNNAligner":
+                # quantize crop size to bound MTCNN's compiled-size set
+                H, W = frame_bgr.shape[:2]
+                fw = min(-(-fw // m) * m, W - x)
+                fh = min(-(-fh // m) * m, H - y)
             region = frame_bgr[y:y + fh, x:x + fw]
             try:
                 # clahe_device: ship the raw aligned crop; the device step
@@ -389,7 +395,9 @@ class MultiStreamEngine:
         m["ticks"] += 1
         m["frames_total"] += n_req
         m["max_batch_seen"] = max(m["max_batch_seen"], n_req)
-        self._ewma("ewma_device_ms", (time.time() - t_dev) * 1000)
+        # dispatch->completed latency: includes up to pipeline_depth
+        # ticks of in-flight queue wait, NOT pure device time
+        self._ewma("ewma_tick_latency_ms", (time.time() - t_dev) * 1000)
         self._ewma("ewma_batch_size", float(n_req))
         host_ms = [(t_dev - p.t_start) * 1000 for p in entries]
         self._ewma("ewma_host_prep_ms", float(np.mean(host_ms)))

@@ -28,6 +28,7 @@ import optax
 from ..models import temporal_head as th
 from ..models.efficientnet import EfficientNetSpec, extract_features
 from ..pipeline.classify import preprocess_aligned
+from .losses import focal_loss_with_smoothing
 
 
 def extract_clip_features(backbone_params, spec: EfficientNetSpec,
@@ -50,25 +51,13 @@ def extract_clip_features(backbone_params, spec: EfficientNetSpec,
     return feats.reshape(n, t, feats.shape[-1])
 
 
-def focal_loss(logits: jax.Array, labels: jax.Array, gamma: float = 2.0,
-               alpha: float = 0.25, smoothing: float = 0.1) -> jax.Array:
-    """Reference FocalLoss semantics (train.py:360-392) on (B,) logits."""
-    y = labels * (1.0 - smoothing) + 0.5 * smoothing
-    p = jax.nn.sigmoid(logits)
-    ce = -(y * jax.nn.log_sigmoid(logits)
-           + (1 - y) * jax.nn.log_sigmoid(-logits))
-    pt = p * labels + (1 - p) * (1 - labels)
-    a = alpha * labels + (1 - alpha) * (1 - labels)
-    return jnp.mean(a * (1 - pt) ** gamma * ce)
-
-
 @partial(jax.jit, static_argnums=(4, 5))
 def _step(params, opt_state, feats, labels, hspec: th.TemporalHeadSpec, tx):
     mask = jnp.ones(feats.shape[:2], bool)
 
     def loss_fn(p):
         logits = th.forward(p, feats, mask, hspec)
-        return focal_loss(logits, labels), logits
+        return focal_loss_with_smoothing(logits, labels), logits
 
     (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     updates, opt_state = tx.update(grads, opt_state, params)

@@ -110,11 +110,18 @@ class NativeHaar:
                    ) -> List[Tuple[int, int, int, int]]:
         gray = np.ascontiguousarray(gray, np.uint8)
         h, w = gray.shape
-        out = np.zeros(self._MAX_RAW * 4, np.int32)
-        n = self._lib.haar_detect_raw(
-            self._h, gray, h, w, float(scale_factor),
-            int(min_size[0]), int(min_size[1]),
-            int(max_size[0]) if max_size else w,
-            int(max_size[1]) if max_size else h,
-            out, out.size)
-        return [tuple(int(v) for v in out[i * 4:i * 4 + 4]) for i in range(n)]
+        cap = self._MAX_RAW
+        while True:
+            out = np.zeros(cap * 4, np.int32)
+            n = self._lib.haar_detect_raw(
+                self._h, gray, h, w, float(scale_factor),
+                int(min_size[0]), int(min_size[1]),
+                int(max_size[0]) if max_size else w,
+                int(max_size[1]) if max_size else h,
+                out, out.size)
+            if n <= cap:
+                return [tuple(int(v) for v in out[i * 4:i * 4 + 4])
+                        for i in range(n)]
+            # returned total exceeds the buffer: retry sized to fit so the
+            # native rung stays decision-identical to the numpy evaluator
+            cap = n
