@@ -65,3 +65,53 @@ def load_checkpoint(path: str, restore_host_rng: bool = True):
         np.random.set_state(meta["rng_numpy"])
     key = meta["rng_jax"]
     return state, meta["metadata"], (None if key is None else jax.numpy.asarray(key))
+
+
+# ----------------------------------------------------------- orbax backend
+#
+# The npz path above reproduces the reference's single-file atomic
+# checkpoint with full RNG capture (train.py:685-756). For multi-host /
+# sharded training states, orbax writes each array with its sharding and
+# restores onto the current mesh — the standard JAX ecosystem format.
+# Same metadata dict travels alongside (orbax stores it as a JSON-able
+# pytree leaf via msgpack of the pickled bytes is NOT portable, so RNG
+# state capture stays an npz-path feature; orbax checkpoints carry the
+# jax PRNG key only, which is what distributed resume needs).
+
+def save_checkpoint_orbax(path: str, state, metadata: Dict[str, Any],
+                          jax_rng_key=None) -> None:
+    """Write `state` (any pytree of arrays, sharded or not) with orbax into
+    `path`/state; metadata + the jax PRNG key go to `path`/meta.pkl (host
+    data — orbax only handles arrays)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "state"), state)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "meta.pkl"), "wb") as f:
+        pickle.dump({"metadata": metadata,
+                     "rng_jax": None if jax_rng_key is None
+                     else np.asarray(jax_rng_key)}, f)
+
+
+def load_checkpoint_orbax(path: str, abstract_state=None):
+    """Returns (state, metadata, jax_rng_key). When `abstract_state` (a
+    pytree of jax.ShapeDtypeStruct, optionally with shardings for the
+    current mesh) is given, arrays restore directly onto those shardings —
+    the multi-host resume path."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if abstract_state is not None:
+        state = ckptr.restore(os.path.join(path, "state"), abstract_state)
+    else:
+        state = ckptr.restore(os.path.join(path, "state"))
+    with open(os.path.join(path, "meta.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    key = meta["rng_jax"]
+    return (state, meta["metadata"],
+            None if key is None else jax.numpy.asarray(key))

@@ -265,3 +265,27 @@ def test_bf16_train_step_close_to_f32():
     assert all(l.dtype == jnp.float32
                for l in jax.tree_util.tree_leaves(s16.params)
                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend (multi-host/sharded states — SURVEY §5 'orbax-style
+    checkpointing'): save/restore a pytree + metadata + PRNG key; restore
+    onto abstract shapes works too."""
+    from real_time_video_deepfake_detection_tpu.train.checkpoint import (
+        load_checkpoint_orbax, save_checkpoint_orbax,
+    )
+    state = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones(4),
+             "n": {"c": jnp.asarray(3)}}
+    d = str(tmp_path / "ck")
+    save_checkpoint_orbax(d, state, {"epoch": 5}, jax.random.PRNGKey(7))
+    st, meta, key = load_checkpoint_orbax(d)
+    assert meta == {"epoch": 5}
+    assert np.array_equal(np.asarray(key), np.asarray(jax.random.PRNGKey(7)))
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(st)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+    st2, _, _ = load_checkpoint_orbax(d, abstract_state=abstract)
+    np.testing.assert_array_equal(np.asarray(st2["w"]), np.asarray(state["w"]))
