@@ -100,3 +100,26 @@ def test_blockwise_runs():
     out = th.forward_blockwise(params, feats, mask, spec, block=128)
     assert out.shape == (2,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_xception_backbone():
+    """Xception (BASELINE config 5's 'ViT/Xception' alternative; the
+    FaceForensics++ deepfake baseline): trainable backbone parameter count
+    matches the published keras include_top=False model exactly
+    (20,806,952), forward/gradient finite, GAP features 2048-d."""
+    from real_time_video_deepfake_detection_tpu.models import xception as X
+
+    p = X.init_params(jax.random.PRNGKey(0))
+    head = 2048 + 1
+    assert X.n_trainable_params(p) - head == 20_806_952
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 96, 96, 3)), jnp.float32)
+    out = jax.jit(X.forward)(p, x)
+    assert out.shape == (2, 1)
+    assert bool(jnp.isfinite(out).all())
+    feats = X.extract_features(p, x)
+    assert feats.shape == (2, 2048)
+    g = jax.grad(lambda q: float(jnp.sum(X.forward(q, x)))
+                 if False else jnp.sum(X.forward(q, x)))(p)
+    assert bool(jnp.isfinite(g["conv1"]["w"]).all())
