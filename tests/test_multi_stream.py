@@ -308,3 +308,34 @@ def test_sharded_serving_tick_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(st1),
                     jax.tree_util.tree_leaves(st8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_align_box_multiple_quantizes_mtcnn_crops():
+    """ServerConfig.align_box_multiple bounds the MTCNN compiled-size set by
+    rounding crop sizes up to a multiple (clamped to the frame); the
+    response bbox reports the actual crop."""
+    sizes = []
+
+    class MTCNNAligner:   # stub matching the engine's type-name check
+        def __call__(self, crop):
+            sizes.append(crop.shape[:2])
+            return np.zeros((160, 160, 3), np.float32)
+
+    cfg = dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                              face_backend="heuristic")
+    e = MultiStreamEngine(
+        cfg, ServerConfig(max_streams=2, max_batch=2, batch_timeout_ms=2.0,
+                          min_request_interval=0.0, align_box_multiple=32),
+        aligner=MTCNNAligner())
+    try:
+        f = np.full((240, 320, 3), 120, np.uint8)
+        cv2.ellipse(f, (160, 120), (61, 79), 0, 0, 360, (140, 160, 210), -1)
+        r = e.analyze(f, "q")
+        assert r["analysis_mode"] == "face+frame"
+        bb = r["face_bbox"]
+        h, w = sizes[-1]
+        assert h % 32 == 0 or bb["y"] + h == 240
+        assert w % 32 == 0 or bb["x"] + w == 320
+        assert (bb["width"], bb["height"]) == (w, h)
+    finally:
+        e.shutdown()
