@@ -450,6 +450,9 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
             server_cfg)
     app.engine = engine
 
+    from .server import _device_strings
+    _device = _device_strings()[0]
+
     def _stream_id(req: Request) -> str:
         return (req.form.get("stream_id")
                 or req.environ.get("HTTP_X_STREAM_ID")
@@ -457,11 +460,13 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
 
     @app.route("/health", methods=["GET"])
     def health(_req):
+        from .server import _device_strings
+        device, accel_name = _device_strings()
         return jsonify({
             "status": "healthy",
             "model_loaded": True,
-            "device": "tpu",
-            "gpu_name": None,
+            "device": device,
+            "gpu_name": accel_name,
             "frame_count": engine.frame_count(),
             "capabilities": {"face_detection": True, "frame_forensics": True,
                              "temporal_tracking": True},
@@ -551,7 +556,7 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
                             "history_length": 0,
                             "voting": {"fake_count": 0, "real_count": 0,
                                        "total_frames": 0},
-                            "device": "tpu"})
+                            "device": _device})
         from ..state.tracker import (tracker_stability, tracker_temporal_average,
                                      tracker_verdict, tracker_voting_stats)
         t = jax.tree.map(lambda x: x[slot], engine.states.tracker)
@@ -564,7 +569,7 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
             "history_length": int(t.n_scores),
             "voting": {"fake_count": int(fake), "real_count": int(real),
                        "total_frames": int(total)},
-            "device": "tpu",
+            "device": _device,
         })
 
     return app
