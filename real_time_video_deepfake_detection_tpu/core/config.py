@@ -88,6 +88,17 @@ class DetectorConfig:
     # approximation (CLAHE and resize commuted) that removes per-face host
     # work; resize-aligner mode only (serving/multi.py enforces).
     clahe_device: bool = False
+    # Forensic full/fast scheduling:
+    #   "frame"     - per-stream, full every full_forensic_interval-th frame
+    #                 by that stream's count (reference semantics,
+    #                 deepfake_detection.py:329-330) — the default
+    #   "tick_full" - force the full six-signal set for every stream
+    #   "tick_fast" - fast trio only; the full-only signals (noise/ELA/
+    #                 color) are NOT COMPUTED, cutting the tick's forensic
+    #                 cost. The engine's tick-schedule mode alternates the
+    #                 two tick variants; for streams that tick every tick
+    #                 from frame 0 this is output-identical to "frame".
+    forensic_schedule: str = "frame"
     # Clip-attention verdict mode (BASELINE config 5): when clip_window > 0
     # the per-stream majority vote is REPLACED by a temporal-attention head
     # (models/temporal_head.py) over a ring of the last clip_window backbone
@@ -122,6 +133,14 @@ class ServerConfig:
     # In-flight device ticks the batcher may dispatch before the drainer has
     # read back results (depth-2 overlaps host<->device sync with compute).
     pipeline_depth: int = 2
+    # Tick-level forensic scheduling: the batcher alternates a full-signal
+    # tick program (every detector full_forensic_interval-th tick) with a
+    # fast-trio program that SKIPS the noise/ELA/color compute (~18% faster
+    # ticks measured). Output-identical to the per-stream "frame" schedule
+    # for streams that tick every tick from frame 0; streams that join late
+    # or skip ticks follow the tick phase instead of their own frame count
+    # (documented deviation — keep False for reference-exact scheduling).
+    forensic_tick_schedule: bool = False
     # When the MTCNN aligner is active, expand each detector box up to a
     # multiple of this (clamped to the frame) before cropping. The JAX MTCNN
     # compiles one program per exact crop size (facenet is eager — any jit

@@ -195,6 +195,7 @@ def analyze_frame(
     full: jax.Array,
     cfg: ForensicConfig = ForensicConfig(),
     color_score_override: jax.Array | None = None,
+    fast_only: bool = False,
 ) -> Tuple[dict, ForensicState]:
     """One forensic step: `full=True` runs all six signals with the full
     weights (frame_analysis.py:58-101); `full=False` the fast trio with fast
@@ -204,6 +205,11 @@ def analyze_frame(
     path exists in the reference to save *CPU* time, while on TPU the batched
     full computation is cheaper than divergent control flow. (The every-3rd-
     frame full/fast *weighting* semantics are preserved exactly.)
+
+    `fast_only=True` (static) compiles a variant that SKIPS the full-only
+    signals (noise/ELA/color report 0): the tick-level scheduling mode
+    (serving/batcher.py device_step `forensic_fast_tick`) uses it on the
+    2-of-3 ticks where no stream needs the full set.
 
     `frame_bgr_u8` must already be the resized analysis frame
     (cv2-parity resize: ops.resize.resize_bilinear_u8_cv2 to cfg.analysis_size).
@@ -220,13 +226,18 @@ def analyze_frame(
     s_freq = frequency_score(gray_f32)
     s_temporal, new_state = temporal_score(gray_f32, state, frame_count_post)
     s_edge = edge_score(gray_u8)
-    s_noise = noise_score(gray_f32)
-    s_ela = ela_score(frame_bgr_u8)
-    # The batched path precomputes color via the fused Pallas kernel
-    # (kernels/color_stats.py) — every pure-XLA unique-hue formulation is
-    # slow at batch scale on TPU (see that module's docstring).
-    s_color = (color_score(frame_bgr_u8) if color_score_override is None
-               else color_score_override)
+    if fast_only:
+        # tick-level fast program: the full-only signals are never read by
+        # the fast weighting, so skip their compute entirely
+        s_noise = s_ela = s_color = jnp.zeros(())
+    else:
+        s_noise = noise_score(gray_f32)
+        s_ela = ela_score(frame_bgr_u8)
+        # The batched path precomputes color via the fused Pallas kernel
+        # (kernels/color_stats.py) — every pure-XLA unique-hue formulation
+        # is slow at batch scale on TPU (see that module's docstring).
+        s_color = (color_score(frame_bgr_u8) if color_score_override is None
+                   else color_score_override)
 
     full_combined = (s_freq * cfg.w_frequency + s_noise * cfg.w_noise
                      + s_ela * cfg.w_ela + s_edge * cfg.w_edge
@@ -251,10 +262,11 @@ def analyze_frame(
 
 
 def analyze_frame_batch(frames, states, fulls, cfg: ForensicConfig = ForensicConfig(),
-                        use_pallas_color: bool = False):
+                        use_pallas_color: bool = False,
+                        fast_only: bool = False):
     """vmap of analyze_frame over the stream axis (cfg broadcast). The color
     signal runs once for the whole batch through the fused Pallas kernel."""
-    if use_pallas_color:
+    if use_pallas_color and not fast_only:
         # Retained as an option for host-attached TPU deployments. On the
         # axon remote runtime a Pallas custom call inside (or feeding) a big
         # program costs ~2 tunnel round-trips (~70 ms), so the default is
@@ -264,4 +276,5 @@ def analyze_frame_batch(frames, states, fulls, cfg: ForensicConfig = ForensicCon
         colors = color_scores_batch(frames, interpret=interpret)
         return jax.vmap(lambda f, s, fl, c: analyze_frame(f, s, fl, cfg, c))(
             frames, states, fulls, colors)
-    return jax.vmap(lambda f, s, fl: analyze_frame(f, s, fl, cfg))(frames, states, fulls)
+    return jax.vmap(lambda f, s, fl: analyze_frame(
+        f, s, fl, cfg, fast_only=fast_only))(frames, states, fulls)

@@ -102,12 +102,19 @@ def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
     n = frames_u8.shape[0]
 
     # Server off-by-one semantics: forensics scheduled on the PRE-increment
-    # count (backend_server.py:148-156).
-    full = jnp.mod(states.frame_count, cfg.full_forensic_interval) == 0
+    # count (backend_server.py:148-156). Tick-schedule variants force one
+    # branch for every stream (cfg.forensic_schedule docstring).
+    if cfg.forensic_schedule == "tick_fast":
+        full = jnp.zeros((n,), bool)
+    elif cfg.forensic_schedule == "tick_full":
+        full = jnp.ones((n,), bool)
+    else:
+        full = jnp.mod(states.frame_count, cfg.full_forensic_interval) == 0
 
     fres, new_forensic = forensics.analyze_frame_batch(
         frames_u8, states.forensic, full, cfg.forensic,
-        use_pallas_color=cfg.use_pallas_color)
+        use_pallas_color=cfg.use_pallas_color,
+        fast_only=cfg.forensic_schedule == "tick_fast")
     # inactive slots keep their old forensic state
     new_forensic = jax.tree.map(
         lambda new, old: jnp.where(

@@ -92,6 +92,17 @@ class MultiStreamEngine:
                              "(u8 crops); MTCNN alignment needs the "
                              "CLAHE'd image on host")
 
+        # Tick-schedule forensic variants (ServerConfig.forensic_tick_schedule):
+        # index 0 = full tick, 1 = fast tick; one compiled program each.
+        if server_cfg.forensic_tick_schedule:
+            import dataclasses as _dc
+            self._tick_cfgs = (
+                _dc.replace(cfg, forensic_schedule="tick_full"),
+                _dc.replace(cfg, forensic_schedule="tick_fast"))
+        else:
+            self._tick_cfgs = (cfg, cfg)
+        self._tick_no = 0
+
         self.n_slots = server_cfg.max_streams
         # +1 dummy row: padded entries of compact (occupancy-bucketed)
         # ticks gather/scatter the dummy slot (serving/batcher.py
@@ -143,15 +154,16 @@ class MultiStreamEngine:
         is tens of seconds; requests must never pay it)."""
         h, w = self.cfg.forensic.analysis_size
         m = self.cfg.mtcnn_image_size
-        for b in self.buckets:
-            out, _ = device_step_compact(
-                self.spec, self.cfg, self.params,
-                jnp.zeros((b, h, w, 3), jnp.uint8),
-                jnp.zeros((b, m, m, 3), jnp.dtype(self._faces_dtype)),
-                jnp.zeros((b,), bool), jnp.zeros((b, 2), jnp.int32),
-                jnp.zeros((b,), bool),
-                jnp.full((b,), self.n_slots, jnp.int32), self.states)
-            jax.block_until_ready(out["verdict"])
+        for cfg in dict.fromkeys(self._tick_cfgs):   # unique variants
+            for b in self.buckets:
+                out, _ = device_step_compact(
+                    self.spec, cfg, self.params,
+                    jnp.zeros((b, h, w, 3), jnp.uint8),
+                    jnp.zeros((b, m, m, 3), jnp.dtype(self._faces_dtype)),
+                    jnp.zeros((b,), bool), jnp.zeros((b, 2), jnp.int32),
+                    jnp.zeros((b,), bool),
+                    jnp.full((b,), self.n_slots, jnp.int32), self.states)
+                jax.block_until_ready(out["verdict"])
 
     # ------------------------------------------------------------- streams
 
@@ -361,8 +373,11 @@ class MultiStreamEngine:
 
         t_dev = time.time()
         with self.lock:
+            interval = self.cfg.full_forensic_interval
+            tick_cfg = self._tick_cfgs[0 if self._tick_no % interval == 0 else 1]
+            self._tick_no += 1
             out, new_states = device_step_compact(
-                self.spec, self.cfg, self.params,
+                self.spec, tick_cfg, self.params,
                 jnp.asarray(frames), jnp.asarray(faces), jnp.asarray(has_face),
                 jnp.asarray(face_hw), jnp.asarray(active),
                 jnp.asarray(slot_idx), self.states)

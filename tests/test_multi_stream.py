@@ -339,3 +339,30 @@ def test_align_box_multiple_quantizes_mtcnn_crops():
         assert (bb["width"], bb["height"]) == (w, h)
     finally:
         e.shutdown()
+
+
+def test_forensic_tick_schedule_matches_frame_schedule_when_synchronized():
+    """ServerConfig.forensic_tick_schedule: for a stream that ticks every
+    tick from frame 0, the tick-level full/fast alternation is
+    output-identical to the reference per-stream frame schedule."""
+    base = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55), face_backend="heuristic")
+    scfg = ServerConfig(max_streams=2, max_batch=2, batch_timeout_ms=2.0,
+                        min_request_interval=0.0)
+    e_frame = MultiStreamEngine(base, scfg)
+    e_tick = MultiStreamEngine(
+        base, dataclasses.replace(scfg, forensic_tick_schedule=True),
+        params=e_frame.params, spec=e_frame.spec)
+    try:
+        for i in range(7):
+            f = _frame(i + 300)
+            r1 = e_frame.analyze(f, "s")
+            r2 = e_tick.analyze(f, "s")
+            assert r2["fake_probability"] == pytest.approx(
+                r1["fake_probability"], abs=1e-6), i
+            assert r2["frame_forensic_probability"] == pytest.approx(
+                r1["frame_forensic_probability"], abs=1e-6), i
+            assert r2["confidence_level"] == r1["confidence_level"], i
+    finally:
+        e_frame.shutdown()
+        e_tick.shutdown()
