@@ -308,6 +308,11 @@ def main():
     mode_txt = "fp32 parity mode"
     if use_bf16 or use_tick:
         cand = bench_core(bf16=use_bf16, tick_schedule=use_tick)
+        if cand["fps"] <= core32["fps"] and use_bf16 and use_tick:
+            # tick scheduling can regress on some runtimes (program
+            # alternation thrash); fall back to bf16-alone before giving up
+            cand = bench_core(bf16=True, tick_schedule=False)
+            use_tick = False
         if cand["fps"] > core32["fps"]:
             core = cand
             parts = []

@@ -161,7 +161,7 @@ def n_trainable_params(params) -> int:
     keras include_top=False count of 20,806,952 (+ the binary head here)."""
     total = 0
 
-    def walk(node, in_bn=False):
+    def walk(node):
         nonlocal total
         if isinstance(node, dict):
             for k, v in node.items():

@@ -108,8 +108,12 @@ def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
         full = jnp.zeros((n,), bool)
     elif cfg.forensic_schedule == "tick_full":
         full = jnp.ones((n,), bool)
-    else:
+    elif cfg.forensic_schedule == "frame":
         full = jnp.mod(states.frame_count, cfg.full_forensic_interval) == 0
+    else:
+        raise ValueError(
+            f"unknown forensic_schedule {cfg.forensic_schedule!r} "
+            "(expected 'frame', 'tick_full' or 'tick_fast')")
 
     fres, new_forensic = forensics.analyze_frame_batch(
         frames_u8, states.forensic, full, cfg.forensic,

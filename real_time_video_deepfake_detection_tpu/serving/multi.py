@@ -466,7 +466,7 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
     app.engine = engine
 
     from .server import _device_strings
-    _device = _device_strings()[0]
+    _device, _accel_name = _device_strings()
 
     def _stream_id(req: Request) -> str:
         return (req.form.get("stream_id")
@@ -475,13 +475,11 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
 
     @app.route("/health", methods=["GET"])
     def health(_req):
-        from .server import _device_strings
-        device, accel_name = _device_strings()
         return jsonify({
             "status": "healthy",
             "model_loaded": True,
-            "device": device,
-            "gpu_name": accel_name,
+            "device": _device,
+            "gpu_name": _accel_name,
             "frame_count": engine.frame_count(),
             "capabilities": {"face_detection": True, "frame_forensics": True,
                              "temporal_tracking": True},

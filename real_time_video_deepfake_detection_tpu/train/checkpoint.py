@@ -83,19 +83,32 @@ def save_checkpoint_orbax(path: str, state, metadata: Dict[str, Any],
     """Write `state` (any pytree of arrays, sharded or not) with orbax into
     `path`/state; metadata + the jax PRNG key go to `path`/meta.pkl (host
     data — orbax only handles arrays)."""
+    import shutil
+
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
-    if os.path.exists(path):
-        import shutil
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
+    # write-new-then-swap: a kill at any point leaves either the previous
+    # checkpoint or the complete new one (same contract as the npz path)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "state"), state)
+    ckptr.save(os.path.join(tmp, "state"), state)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, "meta.pkl"), "wb") as f:
+    with open(os.path.join(tmp, "meta.pkl"), "wb") as f:
         pickle.dump({"metadata": metadata,
                      "rng_jax": None if jax_rng_key is None
                      else np.asarray(jax_rng_key)}, f)
+    if os.path.exists(path):
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
 
 
 def load_checkpoint_orbax(path: str, abstract_state=None):

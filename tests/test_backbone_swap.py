@@ -102,6 +102,7 @@ def test_blockwise_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_xception_backbone():
     """Xception (BASELINE config 5's 'ViT/Xception' alternative; the
     FaceForensics++ deepfake baseline): trainable backbone parameter count
@@ -120,6 +121,5 @@ def test_xception_backbone():
     assert bool(jnp.isfinite(out).all())
     feats = X.extract_features(p, x)
     assert feats.shape == (2, 2048)
-    g = jax.grad(lambda q: float(jnp.sum(X.forward(q, x)))
-                 if False else jnp.sum(X.forward(q, x)))(p)
+    g = jax.grad(lambda q: jnp.sum(X.forward(q, x)))(p)
     assert bool(jnp.isfinite(g["conv1"]["w"]).all())
