@@ -84,17 +84,27 @@ class DeepfakeDetector:
                  enable_gradcam: bool = False, use_tta: Optional[bool] = None,
                  num_tta_augmentations: int = 1,
                  detection_threshold: Optional[float] = None,
-                 face_weight: float = 0.70, forensic_weight: float = 0.30):
+                 face_weight: Optional[float] = None,
+                 forensic_weight: Optional[float] = None):
         if detection_threshold is not None:
             cfg = cfg.with_threshold(detection_threshold)
+        # The reference ctor takes fusion weights directly
+        # (deepfake_detection.py:300-316); fold them into the config so both
+        # serving modes (this single-stream path and serving/batcher.py's
+        # batched tick) read ONE source of truth — cfg.face_weight.
+        if face_weight is not None or forensic_weight is not None:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg,
+                face_weight=cfg.face_weight if face_weight is None else face_weight,
+                forensic_weight=(cfg.forensic_weight if forensic_weight is None
+                                 else forensic_weight))
         self.cfg = cfg
         self.spec = spec or EfficientNetSpec.make("b0")
         self.enable_gradcam = enable_gradcam
         self.use_tta = cfg.use_tta if use_tta is None else use_tta
         self.num_tta_augmentations = num_tta_augmentations
         self.detection_threshold = cfg.detection_threshold
-        self.face_weight = face_weight
-        self.forensic_weight = forensic_weight
         self.model_loaded = False
         self.checkpoint_meta = {}
 
@@ -145,6 +155,16 @@ class DeepfakeDetector:
                 pass
 
         self._jit_forensic = jax.jit(forensics.analyze_frame)
+
+    # Reference-API attributes (deepfake_detection.py:315-316) — read-only
+    # views of the single config source of truth.
+    @property
+    def face_weight(self) -> float:
+        return self.cfg.face_weight
+
+    @property
+    def forensic_weight(self) -> float:
+        return self.cfg.forensic_weight
 
     # ------------------------------------------------------------------ state
 
@@ -311,8 +331,8 @@ class DeepfakeDetector:
                 if fake_prob is None:
                     continue
                 if self.cfg.fuse_forensics:
-                    vote_prob = (self.face_weight * fake_prob
-                                 + self.forensic_weight * frame_forensic["fake_probability"])
+                    vote_prob = (self.cfg.face_weight * fake_prob
+                                 + self.cfg.forensic_weight * frame_forensic["fake_probability"])
                 else:
                     vote_prob = fake_prob   # reference: face-only (:620-623)
                 self.temporal_tracker.update(vote_prob)

@@ -99,6 +99,16 @@ class FaceDetector:
             # pin: everything above the requested rung is disabled
             for r in self._LADDER[:self._LADDER.index(backend)]:
                 self._ok[r] = False
+            # A pinned rung that is unavailable at construction would
+            # silently resolve DOWN the ladder — serving would then run a
+            # different detector than the operator explicitly requested
+            # with --face-backend. Surface that loudly here.
+            if not self._available(backend):
+                import warnings
+                warnings.warn(
+                    f"requested face backend {backend!r} is unavailable "
+                    f"(missing weights/XML/toolchain); the ladder degrades "
+                    f"to {self.backend!r}", RuntimeWarning, stacklevel=2)
 
     def _available(self, rung: str) -> bool:
         """Availability probes run ONCE and are cached both ways (the cv2

@@ -119,6 +119,10 @@ class MultiStreamEngine:
         self.slot_of: Dict[str, int] = {}
         self.last_request: Dict[int, float] = {}
         self.lock = threading.Lock()
+        # Resets that arrive while a tick is dispatching outside the lock
+        # accumulate here; _run_tick re-applies them to the tick's output
+        # states so a /reset can never be overwritten by an in-flight tick.
+        self._pending_reset: Optional[np.ndarray] = None
         self.queue: List[_Pending] = []
         self.queue_cv = threading.Condition(self.lock)
         # Observability (SURVEY.md §5: the reference only reports per-request
@@ -167,6 +171,16 @@ class MultiStreamEngine:
 
     # ------------------------------------------------------------- streams
 
+    def _reset_mask_locked(self, mask: np.ndarray) -> None:
+        """Apply a per-slot reset. Caller holds self.lock. Also records the
+        mask so a device tick currently dispatching outside the lock re-zeros
+        these slots in its output states (_run_tick)."""
+        self.states = reset_streams(self.states, jnp.asarray(mask))
+        if self._pending_reset is None:
+            self._pending_reset = mask.copy()
+        else:
+            self._pending_reset |= mask
+
     def slot_for(self, stream_id: str) -> int:
         with self.lock:
             if stream_id in self.slot_of:
@@ -179,7 +193,7 @@ class MultiStreamEngine:
                 del self.slot_of[lru[0]]
                 mask = np.zeros(self.n_slots + 1, bool)
                 mask[slot] = True
-                self.states = reset_streams(self.states, jnp.asarray(mask))
+                self._reset_mask_locked(mask)
             else:
                 slot = len(self.slot_of)
             self.slot_of[stream_id] = slot
@@ -204,7 +218,15 @@ class MultiStreamEngine:
             elif stream_id in self.slot_of:
                 mask[self.slot_of[stream_id]] = True
                 self.last_request.pop(self.slot_of[stream_id], None)
-            self.states = reset_streams(self.states, jnp.asarray(mask))
+            self._reset_mask_locked(mask)
+        # /reset is the session boundary (extension/content.js:156-167) —
+        # re-probe detector availability so artifacts installed after boot
+        # (cascade XML, native toolchain) take effect without a restart, and
+        # the native-prep eligibility cache follows the refreshed ladder.
+        self._haar_probe = None
+        fd = self.face_detector
+        if isinstance(fd, FaceDetector):
+            fd._probed.clear()
 
     def frame_count(self, stream_id: str = "default") -> int:
         with self.lock:
@@ -372,15 +394,29 @@ class MultiStreamEngine:
                 face_hw[i] = p.face_hw
 
         t_dev = time.time()
+        # Snapshot the state handle under the lock, DISPATCH outside it:
+        # on remote runtimes dispatch takes milliseconds and must not
+        # serialize against /stats, slot_for, and rate-limit checks
+        # (round-2 verdict "engine lock held across device dispatch").
+        # Only this batcher thread dispatches, so states cannot be
+        # concurrently replaced by another tick; resets that land during
+        # dispatch are re-applied to new_states below via _pending_reset.
         with self.lock:
             interval = self.cfg.full_forensic_interval
             tick_cfg = self._tick_cfgs[0 if self._tick_no % interval == 0 else 1]
             self._tick_no += 1
-            out, new_states = device_step_compact(
-                self.spec, tick_cfg, self.params,
-                jnp.asarray(frames), jnp.asarray(faces), jnp.asarray(has_face),
-                jnp.asarray(face_hw), jnp.asarray(active),
-                jnp.asarray(slot_idx), self.states)
+            states = self.states
+            self._pending_reset = None
+        out, new_states = device_step_compact(
+            self.spec, tick_cfg, self.params,
+            jnp.asarray(frames), jnp.asarray(faces), jnp.asarray(has_face),
+            jnp.asarray(face_hw), jnp.asarray(active),
+            jnp.asarray(slot_idx), states)
+        with self.lock:
+            if self._pending_reset is not None:
+                new_states = reset_streams(
+                    new_states, jnp.asarray(self._pending_reset))
+                self._pending_reset = None
             self.states = new_states
         # blocks only when `pipeline_depth` ticks are already in flight
         self._inflight.put((out, entries, has_face, t_dev))

@@ -144,66 +144,82 @@ def _gaussian_blur3(rng, img):
     return out
 
 
+# One named subkey per random decision in augment_one. Keys were previously
+# reused across decisions (round-2 verdict: the noise gate tracked the JPEG
+# quality draw; erase boxes landed on a diagonal) — a distinct key per name
+# makes every draw independent; tests/test_training.py checks both the
+# uniqueness of this table and the decorrelation of the resulting draws.
+_AUG_KEYS = ("jpeg_q", "jpeg_gate", "crop", "flip", "jitter", "gray",
+             "homography", "blur_gate", "blur_sigma", "erase_gate",
+             "erase_area", "erase_aspect", "erase_y", "erase_x",
+             "noise_gate", "noise_std", "noise_vals")
+
+
+def _augment_keys(rng: jax.Array) -> dict:
+    return dict(zip(_AUG_KEYS, jax.random.split(rng, len(_AUG_KEYS))))
+
+
 def augment_one(rng: jax.Array, img_u8: jax.Array, size: int = 224,
                 noise_clamp: bool = True) -> jax.Array:
     """One sample: (size+20, size+20, 3) RGB u8 -> (size, size, 3) normalized
-    float32. All randomness from `rng`."""
-    ks = jax.random.split(rng, 12)
+    float32. All randomness from `rng` via the named one-key-per-decision
+    table above."""
+    k = _augment_keys(rng)
     big = img_u8.shape[0]
 
     # JPEG compression aug p=0.5, quality U{20..75} (train.py:282-296).
     # ops/jpeg needs 16-divisible dims; reflect-pad the canvas around the
     # round-trip. (BGR channel order inside the codec.)
-    q = jax.random.randint(ks[0], (), 0, _JPEG_QHI - _JPEG_QLO + 1)
+    q = jax.random.randint(k["jpeg_q"], (), 0, _JPEG_QHI - _JPEG_QLO + 1)
     pad = (-big) % 16
     padded = jnp.pad(img_u8, ((0, pad), (0, pad), (0, 0)), mode="reflect") \
         if pad else img_u8
     jpeg = jpeg_roundtrip_bgr_tables(
         padded[..., ::-1], jnp.asarray(_QLUM)[q],
         jnp.asarray(_QCHR)[q])[..., ::-1][:big, :big]
-    do_jpeg = jax.random.bernoulli(ks[1], 0.5)
+    do_jpeg = jax.random.bernoulli(k["jpeg_gate"], 0.5)
     x = jnp.where(do_jpeg, jpeg, img_u8).astype(jnp.float32)
 
     # random crop to size
-    off = jax.random.randint(ks[2], (2,), 0, big - size + 1)
+    off = jax.random.randint(k["crop"], (2,), 0, big - size + 1)
     x = jax.lax.dynamic_slice(x, (off[0], off[1], 0), (size, size, 3))
 
     # hflip p=0.5
-    x = jnp.where(jax.random.bernoulli(ks[3], 0.5), x[:, ::-1], x)
+    x = jnp.where(jax.random.bernoulli(k["flip"], 0.5), x[:, ::-1], x)
 
     x01 = x / 255.0
-    x01 = _color_jitter(ks[4], x01)
+    x01 = _color_jitter(k["jitter"], x01)
 
     # random grayscale p=0.08
     g = (0.299 * x01[..., 0] + 0.587 * x01[..., 1] + 0.114 * x01[..., 2])[..., None]
-    x01 = jnp.where(jax.random.bernoulli(ks[5], 0.08), jnp.repeat(g, 3, -1), x01)
+    x01 = jnp.where(jax.random.bernoulli(k["gray"], 0.08), jnp.repeat(g, 3, -1), x01)
 
     # fused rotation/affine/perspective warp
-    H = _sample_homography(ks[6], size, size)
+    H = _sample_homography(k["homography"], size, size)
     x01 = _warp_bilinear(x01, H)
 
     # gaussian blur p=0.2
-    x01 = jnp.where(jax.random.bernoulli(ks[7], 0.2), _gaussian_blur3(ks[8], x01), x01)
+    x01 = jnp.where(jax.random.bernoulli(k["blur_gate"], 0.2), _gaussian_blur3(k["blur_sigma"], x01), x01)
 
     xn = (x01 - _MEAN) / _STD
 
-    # random erasing p=0.25 scale .02-.2
-    do_erase = jax.random.bernoulli(ks[9], 0.25)
-    area = jax.random.uniform(ks[10], (), minval=0.02, maxval=0.2) * size * size
-    ar = jax.random.uniform(ks[10], (), minval=0.3, maxval=3.3)
+    # random erasing p=0.25 scale .02-.2 (independent area/aspect and y/x)
+    do_erase = jax.random.bernoulli(k["erase_gate"], 0.25)
+    area = jax.random.uniform(k["erase_area"], (), minval=0.02, maxval=0.2) * size * size
+    ar = jax.random.uniform(k["erase_aspect"], (), minval=0.3, maxval=3.3)
     eh = jnp.clip(jnp.sqrt(area * ar), 1, size - 1).astype(jnp.int32)
     ew = jnp.clip(jnp.sqrt(area / ar), 1, size - 1).astype(jnp.int32)
-    ey = jax.random.randint(ks[11], (), 0, size)
-    ex = jax.random.randint(ks[11], (), 1, size)
+    ey = jax.random.randint(k["erase_y"], (), 0, size)
+    ex = jax.random.randint(k["erase_x"], (), 1, size)
     ys, xs = jnp.mgrid[0:size, 0:size]
     emask = ((ys >= ey) & (ys < ey + eh) & (xs >= ex) & (xs < ex + ew))[..., None]
     xn = jnp.where(do_erase & emask, 0.0, xn)
 
     # gaussian noise p=0.3 std .01-.04, applied post-normalize with the
     # reference's clamp-to-[0,1] quirk
-    do_noise = jax.random.bernoulli(ks[0], 0.3)
-    std = jax.random.uniform(ks[1], (), minval=0.01, maxval=0.04)
-    noise = jax.random.normal(ks[2], xn.shape) * std
+    do_noise = jax.random.bernoulli(k["noise_gate"], 0.3)
+    std = jax.random.uniform(k["noise_std"], (), minval=0.01, maxval=0.04)
+    noise = jax.random.normal(k["noise_vals"], xn.shape) * std
     noised = jnp.clip(xn + noise, 0.0, 1.0) if noise_clamp else xn + noise
     xn = jnp.where(do_noise, noised, xn)
     return xn
@@ -225,7 +241,7 @@ def mixup_cutmix(rng: jax.Array, x: jax.Array, y: jax.Array,
                  mixup_alpha: float = 0.2, cutmix_alpha: float = 1.0):
     """50%-of-batches mixup-or-cutmix (train.py:563-577). Returns
     (x, y_a, y_b, lam)."""
-    ks = jax.random.split(rng, 6)
+    ks = jax.random.split(rng, 7)
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
     perm = jax.random.permutation(ks[0], b)
 
@@ -240,7 +256,7 @@ def mixup_cutmix(rng: jax.Array, x: jax.Array, y: jax.Array,
     ch = (h * cut).astype(jnp.int32)
     cw = (w * cut).astype(jnp.int32)
     cy = jax.random.randint(ks[3], (), 0, h + 1)
-    cx = jax.random.randint(ks[3], (), 0, w + 1)
+    cx = jax.random.randint(ks[6], (), 0, w + 1)
     y1 = jnp.maximum(0, cy - ch // 2)
     y2 = jnp.minimum(h, cy + ch // 2)
     x1 = jnp.maximum(0, cx - cw // 2)

@@ -105,6 +105,9 @@ def save_checkpoint_orbax(path: str, state, metadata: Dict[str, Any],
         if os.path.exists(old):
             shutil.rmtree(old)
         os.rename(path, old)
+        # a kill in the window between these two renames leaves only
+        # path+'.old' (previous) and path+'.tmp' (complete new) on disk;
+        # load_checkpoint_orbax recovers by completing/rolling back the swap
         os.rename(tmp, path)
         shutil.rmtree(old)
     else:
@@ -118,6 +121,16 @@ def load_checkpoint_orbax(path: str, abstract_state=None):
     the multi-host resume path."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
+    if not os.path.exists(path):
+        # recover an interrupted save_checkpoint_orbax swap: a kill between
+        # rename(path, old) and rename(tmp, path) leaves .tmp (the COMPLETE
+        # new checkpoint — it is only renamed into place after
+        # wait_until_finished) and .old (the previous one). Prefer the new.
+        for cand in (path + ".tmp", path + ".old"):
+            if (os.path.exists(os.path.join(cand, "state"))
+                    and os.path.exists(os.path.join(cand, "meta.pkl"))):
+                os.rename(cand, path)
+                break
     ckptr = ocp.StandardCheckpointer()
     if abstract_state is not None:
         state = ckptr.restore(os.path.join(path, "state"), abstract_state)

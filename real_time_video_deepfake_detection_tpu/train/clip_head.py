@@ -70,11 +70,18 @@ def train_clip_head(key: jax.Array, feats: jax.Array, labels: jax.Array,
                     hspec: th.TemporalHeadSpec, epochs: int = 30,
                     batch_size: int = 32, lr: float = 1e-3,
                     ) -> Tuple[Dict, list]:
-    """feats: (N, T, D) float32; labels: (N,) {0,1}. Returns (params, log)."""
+    """feats: (N, T, D) float32; labels: (N,) {0,1}. Returns (params, log).
+
+    batch_size is clamped to N so small feature sets still take optimizer
+    steps instead of silently returning random-init params (the empty-range
+    epoch would also log NaN means)."""
+    n = feats.shape[0]
+    if n == 0:
+        raise ValueError("train_clip_head: empty feature set")
+    batch_size = min(batch_size, n)
     params = th.init_params(key, hspec)
     tx = optax.adamw(lr, weight_decay=1e-4)
     opt_state = tx.init(params)
-    n = feats.shape[0]
     rng = np.random.default_rng(0)
     log = []
     for epoch in range(epochs):

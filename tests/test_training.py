@@ -86,6 +86,41 @@ def test_augment_batch_shapes_and_range():
     assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 0.01
 
 
+def test_augment_rng_keys_unique_and_draws_decorrelated():
+    """Round-2 verdict: augment_one reused PRNG keys, correlating the noise
+    gate with the JPEG quality draw and erase y with erase x. Guard both the
+    key table itself and the statistics of the draws it produces."""
+    from real_time_video_deepfake_detection_tpu.train.augment import (
+        _augment_keys,
+    )
+
+    # 1. every named decision gets a distinct subkey
+    keys = _augment_keys(jax.random.PRNGKey(0))
+    raw = {name: tuple(np.asarray(jax.random.key_data(k)).ravel())
+           for name, k in keys.items()}
+    assert len(set(raw.values())) == len(raw)
+
+    # 2. draws from pairs that were formerly correlated are now independent
+    n = 1000
+    base = jax.random.split(jax.random.PRNGKey(7), n)
+    cols = {"jpeg_q": [], "noise_gate": [], "erase_y": [], "erase_x": [],
+            "erase_area": [], "erase_aspect": []}
+    draw = jax.jit(lambda r: (lambda k: jnp.stack([
+        jax.random.randint(k["jpeg_q"], (), 0, 56).astype(jnp.float32),
+        jax.random.bernoulli(k["noise_gate"], 0.3).astype(jnp.float32),
+        jax.random.randint(k["erase_y"], (), 0, 224).astype(jnp.float32),
+        jax.random.randint(k["erase_x"], (), 1, 224).astype(jnp.float32),
+        jax.random.uniform(k["erase_area"], (), minval=0.02, maxval=0.2),
+        jax.random.uniform(k["erase_aspect"], (), minval=0.3, maxval=3.3),
+    ]))(_augment_keys(r)))
+    mat = np.asarray(jax.vmap(draw)(base))
+    names = list(cols)
+    for a, b in [("erase_y", "erase_x"), ("erase_area", "erase_aspect"),
+                 ("jpeg_q", "noise_gate")]:
+        r = np.corrcoef(mat[:, names.index(a)], mat[:, names.index(b)])[0, 1]
+        assert abs(r) < 0.1, f"{a} vs {b} correlated: r={r:.3f}"
+
+
 def test_eval_preprocess_is_plain_normalize():
     imgs = rng.integers(0, 256, (2, 44, 44, 3), dtype=np.uint8)
     out = np.asarray(eval_preprocess_batch(jnp.asarray(imgs)))
