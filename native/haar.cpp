@@ -8,8 +8,10 @@
 // Semantics mirror models/haar_cascade.py exactly (which in turn mirrors
 // OpenCV's CascadeClassifierImpl::detectMultiScale; see that module's
 // docstring): image pyramid with cv2 INTER_LINEAR fixed-point resize,
-// 22x22-normrect variance normalization, stump votes accumulated in double
-// in corner order, zero-variance windows skipping the next x position.
+// 22x22-normrect variance normalization with the modern-OpenCV low-variance
+// setWindow gate (window std must exceed ~10), stump votes accumulated in
+// double in corner order, stage-0 rejections skipping the next x position
+// (setWindow rejections do not).
 //
 // Reference behavior being restored: face_detection.py:108-123 (cv2 5.0
 // removed CascadeClassifier; the XML data files survive).
@@ -241,20 +243,23 @@ int haar_detect_raw(void* hptr, const uint8_t* gray, int H, int W,
             static_cast<double>(rect_sum(ii.data(), stride, y + 1, x + 1, nr_w, nr_h));
         const double sq =
             static_cast<double>(rect_sum(ii2.data(), stride, y + 1, x + 1, nr_w, nr_h));
+        // setWindow (HaarEvaluator): reject zero-variance AND low-variance
+        // (area/nf >= 0.1, i.e. pixel std <= ~10) windows with result -1 —
+        // no extra x skip. Only a STAGE-0 rejection (result 0) triggers the
+        // invoker's `x += yStep` extra skip.
         const double nf2 = area * sq - s * s;
-        if (nf2 <= 0.0) {
-          x += ystep;  // skip the next position too (OpenCV invoker)
-          continue;
-        }
-        const double inv_nf = 1.0 / std::sqrt(nf2);
+        if (nf2 <= 0.0) continue;
+        const double nf = std::sqrt(nf2);
+        if (area >= 0.1 * nf) continue;
+        const double inv_nf = 1.0 / nf;
         const int64_t base = static_cast<int64_t>(y) * stride + x;
 
         bool pass = true;
-        for (size_t s = 0; s < c.stages.size(); ++s) {
-          const Stage& st = c.stages[s];
+        for (size_t si = 0; si < c.stages.size(); ++si) {
+          const Stage& st = c.stages[si];
           double vote_sum = 0.0;
-          const int64_t* offs = tables.offs[s].data();
-          const double* swt = tables.sw[s].data();
+          const int64_t* offs = tables.offs[si].data();
+          const double* swt = tables.sw[si].data();
           for (int t = 0; t < st.ntrees; ++t) {
             double v = 0.0;
             const int64_t* o = offs + static_cast<size_t>(t) * 12;
@@ -266,6 +271,7 @@ int haar_detect_raw(void* hptr, const uint8_t* gray, int H, int W,
                             ? st.leaf0[t] : st.leaf1[t];
           }
           if (vote_sum < static_cast<double>(st.threshold)) {
+            if (si == 0) x += ystep;  // stage-0 rejection: extra skip
             pass = false;
             break;
           }

@@ -20,8 +20,11 @@ Semantics reproduce OpenCV's `CascadeClassifierImpl::detectMultiScale`
   * window step 2 px, 1 px once factor > 2;
   * per-window variance normalization over the window inset by 1 px
     (normrect 22x22): featureVal = sum_r(w_r * rectsum_r) / nf with
-    nf = sqrt(area*sqsum - sum^2); zero-variance windows are skipped and the
-    immediately following x position is skipped too;
+    nf = sqrt(area*sqsum - sum^2); setWindow rejects zero-variance windows
+    AND low-variance windows (area/nf >= 0.1, i.e. pixel std <= ~10, the
+    modern-OpenCV gate) with runAt result -1 — no extra skip; a STAGE-0
+    rejection (result 0) additionally skips the next x position
+    (invoker: `if result == 0: x += yStep`);
   * stump vote: leaf[0] if featureVal < nodeThreshold else leaf[1]; stage
     rejects when the vote sum < stageThreshold;
   * groupRectangles(minNeighbors, eps=0.2): union-find partition under the
@@ -228,7 +231,13 @@ class HaarCascade:
         ys0 = np.arange(0, ny, ystep, dtype=np.int64)
         wy, wx = np.meshgrid(ys0, xs0, indexing="ij")
 
-        # Variance normalization over the 1px-inset normrect.
+        # Variance normalization over the 1px-inset normrect
+        # (HaarEvaluator::setWindow): a window is evaluated only when
+        # nf2 = area*sqsum - sum^2 > 0 AND area/sqrt(nf2) < 0.1, i.e. the
+        # window's pixel std exceeds ~10 (the modern-OpenCV low-variance
+        # gate).  A setWindow rejection makes runAt return -1 — it does NOT
+        # trigger the invoker's extra x skip; only a STAGE-0 rejection
+        # (runAt result == 0) does (`if result == 0: x += yStep`).
         nr_w, nr_h = ww - 2, wh - 2
         area = float(nr_w * nr_h)
         y1, x1 = wy + 1, wx + 1
@@ -237,25 +246,41 @@ class HaarCascade:
         sq = (ii2[y1 + nr_h, x1 + nr_w] - ii2[y1 + nr_h, x1]
               - ii2[y1, x1 + nr_w] + ii2[y1, x1]).astype(np.float64)
         nf2 = area * sq - s * s
-        zerovar = nf2 <= 0.0
+        nf = np.sqrt(np.maximum(nf2, 0.0))
+        setwin_ok = (nf2 > 0.0) & (area < 0.1 * nf)
+        inv_nf = np.zeros_like(nf2)
+        np.divide(1.0, nf, out=inv_nf, where=setwin_ok)
 
-        # A zero-variance window skips itself AND the next x position
-        # (OpenCV invoker: `if result == 0: x += yStep`), unless that next
-        # position was itself the skipper.  Sequential in x => scan per row.
-        skip = np.zeros_like(zerovar)
-        for j in range(1, zerovar.shape[1]):
-            skip[:, j] = zerovar[:, j - 1] & ~skip[:, j - 1]
-        alive = ~(zerovar | skip)
+        # Stage 0 vectorized over the WHOLE grid (cheap: few stumps), so the
+        # sequential skip-next-x scan can run per row: window j is skipped
+        # iff j-1 was evaluated (not itself skipped), passed setWindow, and
+        # was rejected by stage 0.
+        offs0, sw0 = self._stage_offsets(stride)[0]
+        st0 = self.stages[0]
+        base_grid = (wy * stride + wx).ravel()
+        vals0 = iif[base_grid[:, None] + offs0.reshape(-1)[None, :]]
+        vals0 = vals0.reshape(base_grid.shape[0], offs0.shape[0], 12)
+        feat0 = np.einsum("ntc,tc->nt", vals0, sw0) * inv_nf.ravel()[:, None]
+        votes0 = np.where(feat0 < st0.node_thresh[None, :],
+                          st0.leaf0[None, :], st0.leaf1[None, :])
+        pass0 = (votes0.sum(axis=1, dtype=np.float64)
+                 >= np.float64(st0.threshold)).reshape(setwin_ok.shape)
+        reject0 = setwin_ok & ~pass0
+        skip = np.zeros_like(reject0)
+        for j in range(1, reject0.shape[1]):
+            skip[:, j] = reject0[:, j - 1] & ~skip[:, j - 1]
+        alive = ~skip & setwin_ok & pass0
 
         idx = np.flatnonzero(alive.ravel())
         if idx.size == 0:
             return np.zeros((0, 2), np.int64)
         wyf = wy.ravel()[idx]
         wxf = wx.ravel()[idx]
-        inv_nf = 1.0 / np.sqrt(nf2.ravel()[idx])
-        base = wyf * stride + wxf
+        inv_nf = inv_nf.ravel()[idx]
+        base = base_grid[idx]
 
-        for (offs, sw), st in zip(self._stage_offsets(stride), self.stages):
+        for (offs, sw), st in zip(self._stage_offsets(stride)[1:],
+                                  self.stages[1:]):
             # (N, ntrees*12) gather -> weighted rect sums -> stump votes
             vals = iif[base[:, None] + offs.reshape(-1)[None, :]]
             vals = vals.reshape(base.shape[0], offs.shape[0], 12)
