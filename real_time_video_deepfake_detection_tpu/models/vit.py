@@ -34,19 +34,26 @@ class ViTSpec:
     mlp_ratio: int
     patch: int
     image_size: int = 224
+    # use_cls=True prepends a learned [CLS] token and takes it (post final
+    # LN) as the feature vector instead of mean pooling — the transformers/
+    # timm ViT convention, used by the donor-weight converter
+    # (utils/vit_convert.py). ln_eps follows suit (HF default 1e-12).
+    use_cls: bool = False
+    ln_eps: float = 1e-6
 
     @staticmethod
-    def make(variant: str = "s16", image_size: int = 224) -> "ViTSpec":
+    def make(variant: str = "s16", image_size: int = 224,
+             use_cls: bool = False, ln_eps: float = 1e-6) -> "ViTSpec":
         d, dim, h, m, p = _SIZES[variant]
-        return ViTSpec(variant, d, dim, h, m, p, image_size)
+        return ViTSpec(variant, d, dim, h, m, p, image_size, use_cls, ln_eps)
 
     @property
     def n_tokens(self) -> int:
-        return (self.image_size // self.patch) ** 2
+        return (self.image_size // self.patch) ** 2 + (1 if self.use_cls else 0)
 
 
 def init_params(key: jax.Array, spec: ViTSpec, out_dim: int = 1) -> Dict[str, Any]:
-    keys = iter(jax.random.split(key, 4 + 6 * spec.depth))
+    keys = iter(jax.random.split(key, 5 + 6 * spec.depth))
     dim, heads = spec.dim, spec.heads
     hd = dim // heads
     mlp = dim * spec.mlp_ratio
@@ -62,6 +69,8 @@ def init_params(key: jax.Array, spec: ViTSpec, out_dim: int = 1) -> Dict[str, An
         "final_ln": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
         "head": dense(next(keys), dim, out_dim),
     }
+    if spec.use_cls:
+        params["cls"] = jax.random.normal(next(keys), (dim,)) * 0.02
     for _ in range(spec.depth):
         params["blocks"].append({
             "ln1": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
@@ -76,7 +85,7 @@ def init_params(key: jax.Array, spec: ViTSpec, out_dim: int = 1) -> Dict[str, An
     return params
 
 
-def _ln(x, p, eps=1e-6):
+def _ln(x, p, eps: float = 1e-6):
     m = jnp.mean(x, -1, keepdims=True)
     v = jnp.var(x, -1, keepdims=True)
     return (x - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
@@ -93,37 +102,40 @@ def _attention(x, blk, heads):
     return out @ blk["proj"]["w"] + blk["proj"]["b"]
 
 
-def forward(params, x, spec: ViTSpec):
-    """x: (B, H, W, 3) normalized -> (B, out_dim) logits."""
+def _encode(params, x, spec: ViTSpec):
+    """Patchify + transformer encoder -> (B, T, D) tokens after final LN."""
     b, h, w, _ = x.shape
     p = spec.patch
     patches = x.reshape(b, h // p, p, w // p, p, 3)
     patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, -1, p * p * 3)
-    tok = patches @ params["patch"]["w"] + params["patch"]["b"] + params["pos"]
+    tok = patches @ params["patch"]["w"] + params["patch"]["b"]
+    if spec.use_cls:
+        cls = jnp.broadcast_to(params["cls"], (b, 1, spec.dim))
+        tok = jnp.concatenate([cls, tok], axis=1)
+    tok = tok + params["pos"]
 
+    eps = spec.ln_eps
     for blk in params["blocks"]:
-        tok = tok + _attention(_ln(tok, blk["ln1"]), blk, spec.heads)
-        y = _ln(tok, blk["ln2"])
-        y = jax.nn.gelu(y @ blk["mlp1"]["w"] + blk["mlp1"]["b"])
+        tok = tok + _attention(_ln(tok, blk["ln1"], eps), blk, spec.heads)
+        y = _ln(tok, blk["ln2"], eps)
+        # exact (erf) GELU — the transformers/timm donor convention; the
+        # tanh approximation would break donor-weight numeric parity
+        y = jax.nn.gelu(y @ blk["mlp1"]["w"] + blk["mlp1"]["b"],
+                        approximate=False)
         tok = tok + (y @ blk["mlp2"]["w"] + blk["mlp2"]["b"])
-
-    feats = jnp.mean(_ln(tok, params["final_ln"]), axis=1)
-    return feats @ params["head"]["w"] + params["head"]["b"]
+    return _ln(tok, params["final_ln"], eps)
 
 
 def extract_features(params, x, spec: ViTSpec):
-    """Pooled pre-head features (for the temporal head)."""
-    b, h, w, _ = x.shape
-    p = spec.patch
-    patches = x.reshape(b, h // p, p, w // p, p, 3)
-    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, -1, p * p * 3)
-    tok = patches @ params["patch"]["w"] + params["patch"]["b"] + params["pos"]
-    for blk in params["blocks"]:
-        tok = tok + _attention(_ln(tok, blk["ln1"]), blk, spec.heads)
-        y = _ln(tok, blk["ln2"])
-        y = jax.nn.gelu(y @ blk["mlp1"]["w"] + blk["mlp1"]["b"])
-        tok = tok + (y @ blk["mlp2"]["w"] + blk["mlp2"]["b"])
-    return jnp.mean(_ln(tok, params["final_ln"]), axis=1)
+    """Pre-head features: [CLS] token when spec.use_cls, else mean pool."""
+    tok = _encode(params, x, spec)
+    return tok[:, 0] if spec.use_cls else jnp.mean(tok, axis=1)
+
+
+def forward(params, x, spec: ViTSpec):
+    """x: (B, H, W, 3) normalized -> (B, out_dim) logits."""
+    feats = extract_features(params, x, spec)
+    return feats @ params["head"]["w"] + params["head"]["b"]
 
 
 def vit_partition_specs(params) -> Dict[str, Any]:
@@ -141,10 +153,13 @@ def vit_partition_specs(params) -> Dict[str, Any]:
             "mlp2": {"w": P("model", None), "b": P()},
         }
 
-    return {
+    out = {
         "patch": {"w": P(), "b": P()},
         "pos": P(),
         "blocks": [block_spec(b) for b in params["blocks"]],
         "final_ln": {"scale": P(), "bias": P()},
         "head": {"w": P(), "b": P()},
     }
+    if "cls" in params:
+        out["cls"] = P()
+    return out

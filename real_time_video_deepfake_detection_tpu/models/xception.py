@@ -89,8 +89,8 @@ def init_params(key: jax.Array, spec: XceptionSpec = XceptionSpec()) -> Dict[str
     return p
 
 
-def _bn(x, bn):
-    inv = jax.lax.rsqrt(bn["var"] + _BN_EPS)
+def _bn_infer(x, bn, eps):
+    inv = jax.lax.rsqrt(bn["var"] + eps)
     return (x - bn["mean"]) * inv * bn["scale"] + bn["bias"]
 
 
@@ -100,13 +100,13 @@ def _conv(x, w, stride=1, padding="SAME"):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _sep(x, sp):
+def _sep(x, sp, bn_apply):
     cin = x.shape[-1]
     x = jax.lax.conv_general_dilated(
         x, sp["dw"], (1, 1), "SAME", feature_group_count=cin,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     x = _conv(x, sp["pw"])
-    return _bn(x, sp["bn"])
+    return bn_apply(x, sp["bn"], _BN_EPS)
 
 
 def _maxpool3s2(x):
@@ -115,45 +115,108 @@ def _maxpool3s2(x):
 
 
 def extract_features(params, x: jax.Array,
-                     spec: XceptionSpec = XceptionSpec()) -> jax.Array:
-    """(B, H, W, 3) normalized NHWC -> (B, 2048) pooled features."""
+                     spec: XceptionSpec = XceptionSpec(), *, train=False,
+                     batch_stats_out=None) -> jax.Array:
+    """(B, H, W, 3) normalized NHWC -> (B, 2048) pooled features.
+
+    train=True with batch_stats_out: BN uses batch statistics and appends
+    each site's updated running stats (forward execution order) — same
+    contract as models/efficientnet.extract_features."""
+    if train and batch_stats_out is not None:
+        from .efficientnet import batch_norm_train
+
+        def bn_apply(v, bn, eps, _out=batch_stats_out):
+            y, new = batch_norm_train(v, bn, eps)
+            _out.append(new)
+            return y
+    else:
+        bn_apply = _bn_infer
+
     relu = jax.nn.relu
-    h = relu(_bn(_conv(x, params["conv1"]["w"], stride=2, padding="VALID"),
-                 params["conv1"]["bn"]))
-    h = relu(_bn(_conv(h, params["conv2"]["w"], padding="VALID"),
-                 params["conv2"]["bn"]))
+    h = relu(bn_apply(_conv(x, params["conv1"]["w"], stride=2, padding="VALID"),
+                      params["conv1"]["bn"], _BN_EPS))
+    h = relu(bn_apply(_conv(h, params["conv2"]["w"], padding="VALID"),
+                      params["conv2"]["bn"], _BN_EPS))
 
     for i, blk in enumerate(params["entry"]):
-        res = _bn(_conv(h, blk["res"]["w"], stride=2), blk["res"]["bn"])
+        res = bn_apply(_conv(h, blk["res"]["w"], stride=2),
+                       blk["res"]["bn"], _BN_EPS)
         if i > 0:
             h = relu(h)
-        h = _sep(h, blk["sep1"])
+        h = _sep(h, blk["sep1"], bn_apply)
         h = relu(h)
-        h = _sep(h, blk["sep2"])
+        h = _sep(h, blk["sep2"], bn_apply)
         h = _maxpool3s2(h)
         h = h + res
 
     for blk in params["middle"]:
         res = h
         for name in ("sep1", "sep2", "sep3"):
-            h = _sep(relu(h), blk[name])
+            h = _sep(relu(h), blk[name], bn_apply)
         h = h + res
 
     ex = params["exit"]
-    res = _bn(_conv(h, ex["res"]["w"], stride=2), ex["res"]["bn"])
-    h = _sep(relu(h), ex["sep1"])
-    h = _sep(relu(h), ex["sep2"])
+    res = bn_apply(_conv(h, ex["res"]["w"], stride=2), ex["res"]["bn"], _BN_EPS)
+    h = _sep(relu(h), ex["sep1"], bn_apply)
+    h = _sep(relu(h), ex["sep2"], bn_apply)
     h = _maxpool3s2(h) + res
-    h = relu(_sep(h, ex["sep3"]))
-    h = relu(_sep(h, ex["sep4"]))
+    h = relu(_sep(h, ex["sep3"], bn_apply))
+    h = relu(_sep(h, ex["sep4"], bn_apply))
     return jnp.mean(h, axis=(1, 2))
 
 
 def forward(params, x: jax.Array,
-            spec: XceptionSpec = XceptionSpec()) -> jax.Array:
+            spec: XceptionSpec = XceptionSpec(), *, train=False) -> jax.Array:
     """(B, H, W, 3) -> (B, 1) fake logits."""
     feats = extract_features(params, x, spec)
     return feats @ params["head"]["w"] + params["head"]["b"]
+
+
+def forward_train(params, x: jax.Array, spec: XceptionSpec, rng=None):
+    """Training forward: batch-stat BN, stats returned as a flat list in
+    forward order (consumed by update_bn_stats). Xception has no dropout."""
+    stats: List[dict] = []
+    feats = extract_features(params, x, spec, train=True,
+                             batch_stats_out=stats)
+    logits = feats @ params["head"]["w"] + params["head"]["b"]
+    return logits, stats
+
+
+def update_bn_stats(params, spec: XceptionSpec, stats: List[dict]):
+    """Fold forward_train's flat stats list back into the param tree, in the
+    same forward order: conv1, conv2, entry[i].(res, sep1, sep2), middle
+    blocks' sep1..3, exit.(res, sep1, sep2, sep3, sep4)."""
+    it = iter(stats)
+
+    def take(bn):
+        new = next(it)
+        return {**bn, "mean": new["mean"], "var": new["var"]}
+
+    def sep_take(sp):
+        return {**sp, "bn": take(sp["bn"])}
+
+    out = {
+        "conv1": {**params["conv1"], "bn": take(params["conv1"]["bn"])},
+        "conv2": {**params["conv2"], "bn": take(params["conv2"]["bn"])},
+        "entry": [], "middle": [], "exit": None, "head": params["head"],
+    }
+    for blk in params["entry"]:
+        out["entry"].append({
+            "res": {**blk["res"], "bn": take(blk["res"]["bn"])},
+            "sep1": sep_take(blk["sep1"]),
+            "sep2": sep_take(blk["sep2"]),
+        })
+    for blk in params["middle"]:
+        out["middle"].append(
+            {name: sep_take(blk[name]) for name in ("sep1", "sep2", "sep3")})
+    ex = params["exit"]
+    out["exit"] = {
+        "res": {**ex["res"], "bn": take(ex["res"]["bn"])},
+        **{n: sep_take(ex[n]) for n in ("sep1", "sep2", "sep3", "sep4")},
+    }
+    rest = list(it)
+    assert not rest, f"{len(rest)} unconsumed BN stats"
+    return out
 
 
 def n_trainable_params(params) -> int:

@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..models.efficientnet import EfficientNetSpec, forward
+from ..models import backbones
 from ..ops.resize import resize_bilinear_f32
 
 _IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
@@ -30,10 +30,11 @@ def preprocess_aligned(face_rgb_raw: jax.Array, size: int = 224) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def classify_batch(params, faces_rgb_raw: jax.Array, spec: EfficientNetSpec,
+def classify_batch(params, faces_rgb_raw: jax.Array, spec,
                    size: int = 224, bf16: bool = False,
                    pallas_preproc: bool = False) -> jax.Array:
     """(B, H, W, 3) raw-RGB aligned faces -> (B,) fake probabilities.
+    `spec` selects the backbone (models/backbones.py dispatch — config 5).
     bf16=True runs the backbone in bfloat16 (f32 master weights cast at
     trace time; sigmoid in f32) — ~20% faster on the MXU, ~1e-3 prob drift.
     pallas_preproc=True fuses resize+scale+normalize into one VMEM-resident
@@ -47,9 +48,9 @@ def classify_batch(params, faces_rgb_raw: jax.Array, spec: EfficientNetSpec,
         p = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16)
             if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, params)
-        logits = forward(p, x.astype(jnp.bfloat16), spec, train=False)
+        logits = backbones.forward(p, x.astype(jnp.bfloat16), spec)
         return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
-    logits = forward(params, x, spec, train=False)
+    logits = backbones.forward(params, x, spec)
     return jax.nn.sigmoid(logits[:, 0])
 
 

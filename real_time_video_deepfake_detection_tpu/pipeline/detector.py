@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import DetectorConfig
-from ..models.efficientnet import EfficientNetSpec, init_params
+from ..models import backbones
 from ..ops import forensics
 from ..ops.clahe import clahe_u8_numpy
 from ..state.forensic_state import ForensicState, forensic_state_init, forensic_state_reset
@@ -77,7 +77,7 @@ class DeepfakeDetector:
     """Reference-compatible orchestrator (deepfake_detection.py:292-726)."""
 
     def __init__(self, cfg: DetectorConfig = DetectorConfig(),
-                 params=None, spec: Optional[EfficientNetSpec] = None,
+                 params=None, spec=None,
                  weights_path: Optional[str] = None,
                  ssd_weights_path: Optional[str] = None,
                  mtcnn_weights_path: Optional[str] = None,
@@ -100,7 +100,7 @@ class DeepfakeDetector:
                 forensic_weight=(cfg.forensic_weight if forensic_weight is None
                                  else forensic_weight))
         self.cfg = cfg
-        self.spec = spec or EfficientNetSpec.make("b0")
+        self.spec = spec if spec is not None else backbones.make("b0")
         self.enable_gradcam = enable_gradcam
         self.use_tta = cfg.use_tta if use_tta is None else use_tta
         self.num_tta_augmentations = num_tta_augmentations
@@ -119,7 +119,7 @@ class DeepfakeDetector:
             # Reference falls back to ImageNet-pretrained weights
             # (deepfake_detection.py:78-81); no pretrained artifact ships in
             # this environment, so random init + a loud flag.
-            self.params = init_params(jax.random.PRNGKey(0), self.spec)
+            self.params = backbones.init_params(jax.random.PRNGKey(0), self.spec)
 
         self.face_detector = FaceDetector(
             ssd_weights_path=ssd_weights_path,

@@ -25,12 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import DetectorConfig
-from ..models.efficientnet import EfficientNetSpec
+from ..models import backbones
 from ..ops import forensics
 from ..ops.resize import resize_bilinear_u8_cv2
 from ..pipeline.classify import preprocess_aligned
-from ..models.efficientnet import forward
-from ..models.efficientnet import apply_head, extract_features
 from ..models.temporal_head import (
     ClipState, TemporalHeadSpec, clip_state_push, clip_verdict,
 )
@@ -83,7 +81,7 @@ def reset_streams(states: StreamStates, mask: jax.Array) -> StreamStates:
     return jax.tree.map(sel, zero, states)
 
 
-def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
+def _step_core(spec, cfg: DetectorConfig, params,
                frames_u8: jax.Array, faces_raw: jax.Array,
                has_face: jax.Array, face_hw: jax.Array,
                active: jax.Array, states: StreamStates):
@@ -147,18 +145,20 @@ def _step_core(spec: EfficientNetSpec, cfg: DetectorConfig, params,
     else:
         x = jax.vmap(lambda f: preprocess_aligned(
             f.astype(jnp.float32), cfg.model_input_size))(faces_raw)
-    # clip mode: params = {"backbone": b0 pytree, "clip_head": head pytree}
+    # clip mode: params = {"backbone": pytree, "clip_head": head pytree};
+    # the classifier dispatches on the spec type (models/backbones.py), so
+    # the same tick serves EfficientNet, ViT, or Xception backbones.
     backbone = params["backbone"] if cfg.clip_window > 0 else params
     if cfg.bf16_inference:
         p16 = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16)
             if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, backbone)
-        feats = extract_features(p16, x.astype(jnp.bfloat16), spec, train=False)
-        logits = apply_head(p16, feats, train=False)
+        feats = backbones.extract_features(p16, x.astype(jnp.bfloat16), spec)
+        logits = backbones.apply_head(p16, feats, spec)
         face_prob = jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
     else:
-        feats = extract_features(backbone, x, spec, train=False)
-        logits = apply_head(backbone, feats, train=False)
+        feats = backbones.extract_features(backbone, x, spec)
+        logits = backbones.apply_head(backbone, feats, spec)
         face_prob = jax.nn.sigmoid(logits[:, 0])
     small = (face_hw[:, 0] < cfg.small_face_px) | (face_hw[:, 1] < cfg.small_face_px)
     face_prob = jnp.clip(
@@ -217,7 +217,7 @@ device_step = partial(jax.jit, static_argnums=(0, 1))(_step_core)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def device_step_compact(spec: EfficientNetSpec, cfg: DetectorConfig, params,
+def device_step_compact(spec, cfg: DetectorConfig, params,
                         frames_u8: jax.Array, faces_raw: jax.Array,
                         has_face: jax.Array, face_hw: jax.Array,
                         active: jax.Array, slot_idx: jax.Array,
@@ -247,7 +247,7 @@ def resize_frames_on_device(frames_u8: jax.Array, h: int = 256, w: int = 256):
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def device_step_from_capture(spec: EfficientNetSpec, cfg: DetectorConfig,
+def device_step_from_capture(spec, cfg: DetectorConfig,
                              params, frames_capture_u8: jax.Array,
                              faces_raw: jax.Array, has_face: jax.Array,
                              face_hw: jax.Array, active: jax.Array,
@@ -261,7 +261,7 @@ def device_step_from_capture(spec: EfficientNetSpec, cfg: DetectorConfig,
                        face_hw, active, states)
 
 
-def make_sharded_device_step(mesh, spec: EfficientNetSpec,
+def make_sharded_device_step(mesh, spec,
                              cfg: DetectorConfig):
     """Serving tick sharded over a ("data",) mesh: the STREAM axis is
     partitioned across chips — each chip runs resize+forensics+classify+

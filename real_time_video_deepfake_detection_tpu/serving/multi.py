@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import DetectorConfig, ServerConfig
-from ..models.efficientnet import EfficientNetSpec, init_params
+from ..models import backbones
 from ..pipeline.detector import preprocess_face_quality
 from ..pipeline.faces import FaceDetector
 from ..state.tracker import VERDICT_NAMES
@@ -56,13 +56,20 @@ class MultiStreamEngine:
 
     def __init__(self, cfg: DetectorConfig = DetectorConfig(),
                  server_cfg: ServerConfig = ServerConfig(),
-                 params=None, spec: Optional[EfficientNetSpec] = None,
+                 params=None, spec=None,
                  aligner=None, face_detector: Optional[FaceDetector] = None,
                  clip_head_params=None):
-        self.cfg = cfg
         self.server_cfg = server_cfg
-        self.spec = spec or EfficientNetSpec.make("b0")
-        self.params = params if params is not None else init_params(
+        self.spec = spec if spec is not None else backbones.make("b0")
+        if cfg.clip_window > 0:
+            # clip_feature_dim follows the backbone (config 5 swap): the
+            # temporal head consumes whatever the backbone pools to.
+            import dataclasses as _dc
+            fdim = backbones.feature_dim(self.spec)
+            if cfg.clip_feature_dim != fdim:
+                cfg = _dc.replace(cfg, clip_feature_dim=fdim)
+        self.cfg = cfg
+        self.params = params if params is not None else backbones.init_params(
             jax.random.PRNGKey(0), self.spec)
         if cfg.clip_window > 0:
             # clip-attention verdict mode: the device step takes the

@@ -227,7 +227,16 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="TPU-native deepfake detection server")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=5000)
-    p.add_argument("--weights", default=None, help="path to best_model.pth or orbax dir")
+    p.add_argument("--weights", default=None,
+                   help="classifier weights: best_model.pth (reference "
+                        "torch format, EfficientNet only) or an .npz pytree "
+                        "saved by the trainer (any backbone)")
+    from ..models.backbones import backbone_names
+    p.add_argument("--backbone", default="b0", choices=backbone_names(),
+                   help="classifier backbone (config 5 swap): EfficientNet "
+                        "b0..b7, vit_s16/b16/l16, or xception; with "
+                        "--clip-window the temporal head's feature dim "
+                        "follows the backbone automatically")
     p.add_argument("--threshold", type=float, default=0.55)
     p.add_argument("--batched", action="store_true",
                    help="multi-stream dynamic-batching engine (config 4): "
@@ -250,13 +259,33 @@ def main(argv=None):
                    help="pin a detector-ladder rung (pipeline/faces.py)")
     args = p.parse_args(argv)
     import dataclasses as _dc
+    from ..models import backbones
+    spec = backbones.make(args.backbone)
     cfg = _dc.replace(DetectorConfig().with_threshold(args.threshold),
                       face_backend=args.face_backend,
-                      clip_window=args.clip_window)
+                      clip_window=args.clip_window,
+                      clip_feature_dim=backbones.feature_dim(spec))
     aligner = None
     if args.mtcnn_weights:
         from ..models.mtcnn import MTCNNAligner
         aligner = MTCNNAligner.from_weights(args.mtcnn_weights)
+
+    def _load_params():
+        if not args.weights:
+            return None
+        if args.weights.endswith(".pth"):
+            from ..models.efficientnet import EfficientNetSpec
+            if not isinstance(spec, EfficientNetSpec):
+                raise SystemExit("--weights *.pth is the reference torch "
+                                 "EfficientNet format; save other backbones "
+                                 "as .npz via the trainer")
+            from ..utils.torch_convert import load_checkpoint as load_torch
+            params, _ = load_torch(args.weights, spec)
+            return params
+        from ..train.checkpoint import load_checkpoint as load_tree
+        params, _, _ = load_tree(args.weights, restore_host_rng=False)
+        return params
+
     if args.batched:
         from socketserver import ThreadingMixIn
         from wsgiref.simple_server import WSGIServer, make_server
@@ -265,16 +294,14 @@ def main(argv=None):
         scfg = ServerConfig(detection_threshold=args.threshold,
                             max_streams=args.max_streams,
                             batch_timeout_ms=args.batch_timeout_ms)
-        params = None
-        if args.weights:
-            from ..utils.torch_convert import load_checkpoint as load_torch
-            params, _ = load_torch(args.weights)
+        params = _load_params()
         clip_head = None
         if args.clip_head:
             from ..train.checkpoint import load_checkpoint as load_tree
             clip_head, _, _ = load_tree(args.clip_head,
                                         restore_host_rng=False)
-        engine = MultiStreamEngine(cfg, scfg, params=params, aligner=aligner,
+        engine = MultiStreamEngine(cfg, scfg, params=params, spec=spec,
+                                   aligner=aligner,
                                    clip_head_params=clip_head)
         app = create_batched_app(engine, scfg)
 
@@ -287,7 +314,7 @@ def main(argv=None):
                     f"on http://{args.host}:{args.port}")
         httpd.serve_forever()
         return
-    det = DeepfakeDetector(cfg, weights_path=args.weights,
+    det = DeepfakeDetector(cfg, params=_load_params(), spec=spec,
                            mtcnn_weights_path=args.mtcnn_weights)
     serve(args.host, args.port, det)
 

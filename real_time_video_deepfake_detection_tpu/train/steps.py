@@ -19,9 +19,9 @@ import jax.numpy as jnp
 import optax
 
 from ..core.config import TrainConfig
-from ..models.efficientnet import (
-    EfficientNetSpec, forward_train, forward, update_bn_stats,
-)
+from ..models import backbones
+from ..models.backbones import forward, forward_train, update_bn_stats
+from ..models.efficientnet import EfficientNetSpec
 from .losses import focal_loss_with_smoothing
 
 
@@ -40,10 +40,13 @@ def _is_bn_stat(path) -> bool:
 
 
 def make_optimizer(cfg: TrainConfig, total_steps: int,
-                   n_blocks: int = 16) -> optax.GradientTransformation:
+                   n_blocks: Optional[int] = None,
+                   spec=None) -> optax.GradientTransformation:
     """AdamW + clip + onecycle + differential backbone LR (train.py:891-927)
     + frozen stem/early blocks (train.py:863-876: stem, _bn0 and the first
-    freeze_frac of MBConv blocks get no updates).
+    freeze_frac of MBConv blocks get no updates). `spec` selects the
+    backbone's parameter-group labeling (models/backbones.lr_group); the
+    default is EfficientNet-B0.
 
     BN running stats are masked out of the optimizer entirely (they update
     through the forward pass).
@@ -56,21 +59,15 @@ def make_optimizer(cfg: TrainConfig, total_steps: int,
         transition_steps=max(total_steps, 4), peak_value=cfg.lr,
         pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
 
+    if spec is None:
+        spec = EfficientNetSpec.make("b0")
+    if n_blocks is None:
+        n_blocks = backbones.n_blocks(spec)
     n_frozen = int(cfg.freeze_frac * n_blocks)
 
     def lr_mask(params):
-        def label(path, _):
-            top = getattr(path[0], "key", None)
-            if top == "fc":
-                return "head"        # full LR
-            if top == "stem":
-                return "frozen"      # reference freezes stem + _bn0
-            if top == "blocks":
-                idx = getattr(path[1], "idx", None)
-                if idx is not None and idx < n_frozen:
-                    return "frozen"
-            return "backbone"        # 0.1x LR
-        return jax.tree_util.tree_map_with_path(label, params)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: backbones.lr_group(spec, path, n_frozen), params)
 
     tx = optax.multi_transform(
         {"head": optax.adamw(sched, weight_decay=cfg.weight_decay),
@@ -128,7 +125,7 @@ def _forward_mixed(params, x, spec, rng, bf16: bool):
 
 
 def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
-               spec: EfficientNetSpec, cfg: TrainConfig,
+               spec, cfg: TrainConfig,
                tx: optax.GradientTransformation):
     """One SPMD step: images (B,H,W,3) f32 normalized NHWC, labels (B,).
     Returns (new_state, metrics)."""
@@ -160,13 +157,13 @@ def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
     return TrainState(new_params, new_opt, new_ema, state.step + 1, rng), metrics
 
 
-def eval_step(params, images: jax.Array, spec: EfficientNetSpec):
+def eval_step(params, images: jax.Array, spec):
     logits = forward(params, images, spec, train=False)
     return jax.nn.sigmoid(logits[:, 0])
 
 
 def fused_train_step(state: TrainState, imgs_u8: jax.Array, labels: jax.Array,
-                     spec: EfficientNetSpec, cfg: TrainConfig,
+                     spec, cfg: TrainConfig,
                      tx: optax.GradientTransformation):
     """The full TPU step: device-side augmentation + mixup/cutmix + forward +
     focal loss + update. Input is the raw (B, size+20, size+20, 3) RGB u8
@@ -208,7 +205,7 @@ def fused_train_step(state: TrainState, imgs_u8: jax.Array, labels: jax.Array,
     return TrainState(new_params, new_opt, new_ema, state.step + 1, rng), metrics
 
 
-def make_sharded_train_step(mesh, spec: EfficientNetSpec, cfg: TrainConfig,
+def make_sharded_train_step(mesh, spec, cfg: TrainConfig,
                             tx: optax.GradientTransformation,
                             step=train_step):
     """jit the step over the mesh: batch on the data axis, state replicated.

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import TrainConfig
-from ..models.efficientnet import EfficientNetSpec, init_params, forward
+from ..models import backbones
+from ..models.backbones import forward
 from .checkpoint import load_checkpoint, save_checkpoint
 from .data import BatchLoader, DeepfakeDataset
 from .augment import eval_preprocess_batch
@@ -73,7 +74,7 @@ def auc_score(labels: np.ndarray, probs: np.ndarray) -> float:
     return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 
-def validate(params, loader: BatchLoader, spec: EfficientNetSpec,
+def validate(params, loader: BatchLoader, spec,
              cfg: TrainConfig):
     """(train.py:632-679): loss, acc, per-class acc, P/R/F1, AUC."""
     eval_fn = jax.jit(lambda p, x: jax.nn.sigmoid(
@@ -120,7 +121,9 @@ def train(args) -> dict:
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         image_size=args.image_size, seed=args.seed,
         early_stop_patience=args.patience, bf16_compute=args.bf16)
-    spec = EfficientNetSpec.make(args.backbone)
+    # Backbone swap (config 5): b0..b7 / vit_s16|b16|l16 / xception behind
+    # the same trainer interface (models/backbones.py dispatch).
+    spec = backbones.make(args.backbone, image_size=cfg.image_size)
 
     out_dir = args.output_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -139,11 +142,16 @@ def train(args) -> dict:
 
     steps_per_epoch = max(len(train_loader), 1)
     total_steps = steps_per_epoch * cfg.epochs
-    tx = make_optimizer(cfg, total_steps, n_blocks=len(spec.blocks))
+    tx = make_optimizer(cfg, total_steps, spec=spec)
 
-    params = init_params(jax.random.PRNGKey(cfg.seed), spec)
+    params = backbones.init_params(jax.random.PRNGKey(cfg.seed), spec)
     if args.warm_start and os.path.exists(args.warm_start):
         if args.warm_start.endswith(".pth"):
+            from ..models.efficientnet import EfficientNetSpec
+            if not isinstance(spec, EfficientNetSpec):
+                raise ValueError(".pth warm-start is the reference "
+                                 "EfficientNet checkpoint format; use an "
+                                 ".npz pytree for other backbones")
             from ..utils.torch_convert import load_checkpoint as load_torch
             params, _ = load_torch(args.warm_start, spec)
         else:
@@ -247,7 +255,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--image-size", type=int, default=224)
-    p.add_argument("--backbone", default="b0", choices=list("b0 b1 b2 b3 b4 b5".split()))
+    from ..models.backbones import backbone_names
+    p.add_argument("--backbone", default="b0", choices=backbone_names(),
+                   help="classifier backbone (config 5 swap): EfficientNet "
+                        "b0..b7, vit_s16/b16/l16, or xception")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--patience", type=int, default=7)
     p.add_argument("--fresh", action="store_true", help="ignore resume checkpoint")

@@ -1,12 +1,15 @@
 """Config-5 tests: ViT backbone, tensor-parallel sharding on a 2D mesh,
-temporal attention head + streaming clip state, B4 spec."""
+temporal attention head + streaming clip state, B4 spec, backbone dispatch,
+and donor-implementation numeric oracles (transformers ViT, keras Xception)."""
 
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
-from real_time_video_deepfake_detection_tpu.models import vit, temporal_head as th
+from real_time_video_deepfake_detection_tpu.models import (
+    backbones, vit, temporal_head as th,
+)
 from real_time_video_deepfake_detection_tpu.models.efficientnet import (
     EfficientNetSpec,
 )
@@ -100,6 +103,155 @@ def test_blockwise_runs():
     out = th.forward_blockwise(params, feats, mask, spec, block=128)
     assert out.shape == (2,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_backbone_registry_and_feature_dims():
+    assert backbones.backbone_names()[:2] == ["b0", "b1"]
+    assert backbones.feature_dim(backbones.make("b0")) == 1280
+    assert backbones.feature_dim(backbones.make("b4")) == 1792
+    assert backbones.feature_dim(backbones.make("vit_s16")) == 384
+    assert backbones.feature_dim(backbones.make("xception")) == 2048
+    with pytest.raises(ValueError):
+        backbones.make("resnet50")
+
+
+def test_vit_transformers_numeric_parity():
+    """Donor oracle (round-2 verdict #9/#4): a randomly initialized
+    transformers ViTModel, converted via utils/vit_convert, must produce the
+    same encoder output from our functional ViT — CLS semantics, exact GELU,
+    HF layer-norm epsilon and all."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from real_time_video_deepfake_detection_tpu.utils.vit_convert import (
+        from_transformers,
+    )
+
+    cfg = transformers.ViTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=256, image_size=32, patch_size=16)
+    with torch.no_grad():
+        model = transformers.ViTModel(cfg, add_pooling_layer=False).eval()
+        params, spec = from_transformers(model)
+        assert spec.use_cls and spec.ln_eps == cfg.layer_norm_eps
+
+        x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        ref = model(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                    ).last_hidden_state.numpy()
+
+    tok = vit._encode(params, jnp.asarray(x), spec)
+    np.testing.assert_allclose(np.asarray(tok), ref, atol=2e-5)
+    # extract_features == the [CLS] row (what the clip head consumes)
+    feats = vit.extract_features(params, jnp.asarray(x), spec)
+    np.testing.assert_allclose(np.asarray(feats), ref[:, 0], atol=2e-5)
+
+
+@pytest.mark.slow
+def test_xception_keras_numeric_parity():
+    """Keras oracle (round-2 verdict #9): a randomly initialized
+    keras.applications.Xception converted via utils/xception_convert must
+    reproduce the pooled features of model.predict — closing the
+    'keras-exact' structural claim numerically."""
+    keras = pytest.importorskip("keras")
+    from real_time_video_deepfake_detection_tpu.models import xception as X
+    from real_time_video_deepfake_detection_tpu.utils.xception_convert import (
+        from_keras,
+    )
+
+    model = keras.applications.Xception(
+        weights=None, include_top=False, pooling="avg",
+        input_shape=(96, 96, 3))
+    params, spec = from_keras(model)
+
+    x = rng.standard_normal((2, 96, 96, 3)).astype(np.float32)
+    ref = model.predict(x, verbose=0)
+    got = np.asarray(X.extract_features(params, jnp.asarray(x), spec))
+    assert ref.shape == got.shape == (2, 2048)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_xception_train_bn_stats_roundtrip():
+    """forward_train's flat BN-stats list folds back into the tree in
+    forward order, and training-mode BN moves the running stats."""
+    from real_time_video_deepfake_detection_tpu.models import xception as X
+
+    p = X.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 96, 96, 3)).astype(np.float32))
+    logits, stats = X.forward_train(p, x, X.XceptionSpec())
+    assert logits.shape == (2, 1)
+    # 2 stem + 3*(res+2) entry + 8*3 middle + (res+4) exit = 2+9+24+5 = 40
+    assert len(stats) == 40
+    p2 = X.update_bn_stats(p, X.XceptionSpec(), stats)
+    assert float(jnp.abs(p2["conv1"]["bn"]["mean"]).sum()) > 0.0
+    # scale/bias untouched
+    np.testing.assert_array_equal(np.asarray(p2["conv1"]["bn"]["scale"]),
+                                  np.asarray(p["conv1"]["bn"]["scale"]))
+
+
+def test_optimizer_lr_groups_vit_xception():
+    """Freeze masking generalizes across backbones: patch/early blocks
+    frozen for ViT, conv1/conv2/entry frozen for Xception, heads train."""
+    from real_time_video_deepfake_detection_tpu.core.config import TrainConfig
+
+    cfg = TrainConfig(freeze_frac=0.5)
+    for name in ("vit_s16", "xception"):
+        spec = backbones.make(name, image_size=32)
+        n_frozen = int(cfg.freeze_frac * backbones.n_blocks(spec))
+
+        groups = {}
+
+        def collect(path, _leaf, spec=spec, n_frozen=n_frozen):
+            g = backbones.lr_group(spec, path, n_frozen)
+            top = getattr(path[0], "key", None)
+            groups.setdefault(top, set()).add(g)
+            return g
+
+        if name == "vit_s16":
+            params = vit.init_params(jax.random.PRNGKey(0),
+                                     vit.ViTSpec.make("s16", image_size=32))
+        else:
+            from real_time_video_deepfake_detection_tpu.models import xception
+            params = xception.init_params(jax.random.PRNGKey(0))
+        jax.tree_util.tree_map_with_path(collect, params)
+        assert groups["head"] == {"head"}
+        if name == "vit_s16":
+            assert groups["patch"] == {"frozen"}
+            assert groups["blocks"] == {"frozen", "backbone"}
+        else:
+            assert groups["conv1"] == {"frozen"}
+            assert groups["middle"] == {"frozen", "backbone"}
+
+
+@pytest.mark.slow
+def test_engine_tick_with_vit_backbone():
+    """The batched serving tick runs a ViT backbone end-to-end and the
+    engine infers clip_feature_dim from the spec (config-5 '--backbone
+    vit_s16 --clip-window N serves')."""
+    import dataclasses
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig, ServerConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        MultiStreamEngine,
+    )
+
+    tiny = vit.ViTSpec("s16", depth=2, dim=64, heads=2, mlp_ratio=4,
+                       patch=16, image_size=224)
+    cfg = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55),
+        face_backend="heuristic", clip_window=6, clip_min_frames=2)
+    eng = MultiStreamEngine(
+        cfg, ServerConfig(max_streams=4, max_batch=4, batch_timeout_ms=2.0,
+                          min_request_interval=0.0),
+        spec=tiny)
+    assert eng.cfg.clip_feature_dim == 64
+    frame = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    for _ in range(3):
+        r = eng.analyze(frame, "v0")
+    eng.shutdown()
+    assert r["frame_count"] == 3
+    assert "clip_probability" in r
+    assert 0.0 <= r["fake_probability"] <= 1.0
 
 
 @pytest.mark.slow
