@@ -1,22 +1,27 @@
 """End-to-end serving benchmark (driver contract: ONE JSON line).
 
-Two phases on the available accelerator:
+Phases on the available accelerator:
 
-1. Serving core (primary metric): 64 concurrent streams, each tick = one XLA
-   program doing on-device 480p->256 resize + all six forensic signals +
-   EfficientNet-B0 face classification (fp32 parity mode) + per-stream
-   temporal-tracker update + verdict, with stream state chaining tick to
-   tick. Steady-state is measured in chained windows (dispatch K ticks, sync
-   once) — exactly what the serving engine's dispatch/drain pipeline
-   (serving/multi.py) sustains, where readback overlaps compute. Per-tick
-   latency = window_time / K; p95 over windows.
+1. Classify core: 64 concurrent streams, each tick = one XLA program doing
+   on-device 480p->256 resize + all six forensic signals + EfficientNet-B0
+   face classification + per-stream temporal-tracker update + verdict, with
+   stream state chaining tick to tick. Steady-state is measured in chained
+   windows (dispatch K ticks, sync once) — exactly what the serving
+   engine's dispatch/drain pipeline (serving/multi.py) sustains, where
+   readback overlaps compute. Guarded fast modes (bf16, tick-scheduled
+   forensics) are selected only when parity holds.
 
-2. End-to-end check (reported in the unit string): the real
-   MultiStreamEngine.analyze path — JPEG decode, face detect, CLAHE, align,
-   dynamic batching, device tick, JSON-ready result — driven by 64 client
-   threads. In this dev environment the TPU sits behind a ~50 MB/s tunnel
-   whose per-readback RTT dominates request latency; the number is reported
-   for honesty but the core metric is phase 1.
+2. Detect-inclusive core (THE HEADLINE): the same tick with SSD-Res10-class
+   face detection, the 300/256 resizes, per-stream dynamic crop + align +
+   device CLAHE fused in (serving/batcher.make_device_step_detect) — true
+   capture->verdict in one program. Also reports synchronous per-request
+   latency (host frames -> transfer -> tick -> verdict readback, depth 1).
+
+3. End-to-end check (reported in the unit string): the real
+   MultiStreamEngine.analyze path in device-detect mode — JPEG decode on
+   host, everything else in the tick — driven by 64 client threads. In this
+   dev environment the TPU sits behind a ~50 MB/s tunnel whose per-readback
+   RTT dominates request latency; reported for honesty.
 
 Baseline: the reference's effective ceiling is 10 fps single stream (100 ms
 global rate limiter, backend_server.py:63; typical operation 1 fps).
@@ -201,8 +206,125 @@ def tick_schedule_guard(bf16=False, n_streams=64, n_ticks=6):
     return ok
 
 
-def bench_e2e(n_streams=64, frames_per_stream=12):
-    """Drive the real engine.analyze path (host prep included)."""
+def _synth_ssd():
+    """res10-class SSD (synthetic weights) for the detect-inclusive phases;
+    cached on disk so repeat runs skip regeneration."""
+    import os
+
+    from real_time_video_deepfake_detection_tpu.models.ssd_res10 import SSDRes10
+    from real_time_video_deepfake_detection_tpu.utils.ssd_synth import (
+        res10_class_ssd,
+    )
+    d = "/tmp/bench_ssd"
+    proto = os.path.join(d, "deploy.prototxt")
+    cm = os.path.join(d, "res10_class.caffemodel")
+    if not (os.path.exists(proto) and os.path.exists(cm)):
+        proto, cm = res10_class_ssd(d, seed=0)
+    return SSDRes10.from_caffemodel(cm, proto)
+
+
+def bench_core_detect(n_streams=64, window=8, n_windows=10, warm_windows=2,
+                      bf16=False, tick_schedule=False, latency_iters=30,
+                      clahe=True):
+    """Capture->verdict serving core: SSD-Res10-class detection (300 resize +
+    trunk + DetectionOutput + NMS + reference box selection), 256 resize +
+    forensics, per-stream dynamic crop + align + device CLAHE, classifier,
+    tracker — ONE XLA program per tick for all 64 streams
+    (serving/batcher.make_device_step_detect). The SSD carries synthetic
+    res10-class weights (utils/ssd_synth.py) at representative FLOPs; a real
+    caffemodel drops in via --ssd-weights in serving.
+
+    Also measures REQUEST latency: host-resident frames -> transfer ->
+    one synchronous tick -> verdict readback (pipeline depth 1), p50/p95."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_video_deepfake_detection_tpu.core.config import DetectorConfig
+    from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+        EfficientNetSpec, init_params,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.batcher import (
+        init_stream_states, make_device_step_detect,
+    )
+
+    cap_h, cap_w = 480, 640
+    n_variants = 4
+    spec = EfficientNetSpec.make("b0")
+    cfg = dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                              clahe_device=clahe)
+    if bf16:
+        cfg = dataclasses.replace(cfg, bf16_inference=True)
+    if tick_schedule:
+        tick_cfgs = [dataclasses.replace(cfg, forensic_schedule="tick_full"),
+                     dataclasses.replace(cfg, forensic_schedule="tick_fast")]
+    else:
+        tick_cfgs = [cfg, cfg]
+    net = _synth_ssd().net
+    steps = {c: make_device_step_detect(net, spec, c)
+             for c in dict.fromkeys(tick_cfgs)}
+    params = init_params(jax.random.PRNGKey(0), spec)
+    states = init_stream_states(n_streams + 1, cfg)   # +1 dummy row
+
+    rng = np.random.default_rng(0)
+    frames_host = [rng.integers(0, 256, (n_streams, cap_h, cap_w, 3),
+                                dtype=np.uint8) for _ in range(n_variants)]
+    frames_dev = [jax.device_put(f) for f in frames_host]
+    active = jnp.ones((n_streams,), bool)
+    slot_idx = jnp.arange(n_streams, dtype=jnp.int32)
+
+    def tick(i, states, dev=True):
+        c = tick_cfgs[0 if i % cfg.full_forensic_interval == 0 else 1]
+        f = frames_dev[i % n_variants] if dev \
+            else jnp.asarray(frames_host[i % n_variants])
+        return steps[c](params, f, active, slot_idx, states)
+
+    out, states = tick(0, states)   # compile full variant
+    jax.block_until_ready(out["verdict"])
+    out, states = tick(1, states)   # compile fast variant (same cfg if off)
+    jax.block_until_ready(out["verdict"])
+
+    per_tick_ms = []
+    i = 0
+    t_all = time.perf_counter()
+    for w in range(n_windows + warm_windows):
+        t0 = time.perf_counter()
+        for _ in range(window):
+            out, states = tick(i, states)
+            i += 1
+        jax.block_until_ready(out["verdict"])
+        dt = time.perf_counter() - t0
+        if w >= warm_windows:
+            per_tick_ms.append(dt / window * 1000)
+    elapsed = time.perf_counter() - t_all
+    fps = n_streams * i / elapsed
+
+    # request-level latency: host->device transfer + tick + verdict readback,
+    # synchronous (depth-1) — the per-request number BASELINE.md names
+    req_ms = []
+    for k in range(latency_iters):
+        t0 = time.perf_counter()
+        out, states = tick(k, states, dev=False)
+        jax.block_until_ready(out["verdict"])
+        req_ms.append((time.perf_counter() - t0) * 1000)
+    return {
+        "fps": fps,
+        "tick_ms_p50": float(np.percentile(per_tick_ms, 50)),
+        "tick_ms_p95": float(np.percentile(per_tick_ms, 95)),
+        "req_ms_p50": float(np.percentile(req_ms, 50)),
+        "req_ms_p95": float(np.percentile(req_ms, 95)),
+    }
+
+
+def bench_e2e(n_streams=64, frames_per_stream=12, device_detect=True):
+    """Drive the real engine.analyze path (host prep included).
+
+    device_detect=True (default): the engine runs SSD detection +
+    crop/align + CLAHE inside the tick — host work per request is ONLY the
+    JPEG decode, so this is the full capture->verdict path under real
+    concurrency. Falls back to the heuristic-rung host-prep engine when the
+    detect mode can't construct."""
     import cv2
 
     from real_time_video_deepfake_detection_tpu.core.config import (
@@ -216,14 +338,28 @@ def bench_e2e(n_streams=64, frames_per_stream=12):
     # fixed transfer cost, so coalescing full batches wins; co-located
     # deployments keep the 5 ms default.
     import dataclasses
-    engine = MultiStreamEngine(
-        # heuristic detector rung: the e2e phase measures the data plane
-        # (decode/prep/batching/device), not cascade cost on noise frames;
-        # the default 'auto' ladder would run the from-scratch Haar here
-        dataclasses.replace(DetectorConfig().with_threshold(0.55),
-                            face_backend="heuristic"),
-        ServerConfig(max_streams=n_streams, max_batch=n_streams,
-                     batch_timeout_ms=30.0, min_request_interval=0.0))
+    engine = None
+    mode = "heuristic-host-prep"
+    if device_detect:
+        try:
+            engine = MultiStreamEngine(
+                dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                                    clahe_device=True),
+                ServerConfig(max_streams=n_streams, max_batch=n_streams,
+                             batch_timeout_ms=30.0, min_request_interval=0.0,
+                             device_detect=True),
+                ssd_net=_synth_ssd().net)
+            mode = "device-detect"
+        except Exception:   # pragma: no cover - bench robustness
+            engine = None
+    if engine is None:
+        engine = MultiStreamEngine(
+            # heuristic detector rung: measures the data plane
+            # (decode/prep/batching/device) without cascade cost
+            dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                                face_backend="heuristic"),
+            ServerConfig(max_streams=n_streams, max_batch=n_streams,
+                         batch_timeout_ms=30.0, min_request_interval=0.0))
     rng = np.random.default_rng(1)
     jpegs = []
     for k in range(4):
@@ -270,6 +406,7 @@ def bench_e2e(n_streams=64, frames_per_stream=12):
         "errors": len(errs),
         "first_error": (f"{type(errs[0]).__name__}: {errs[0]}"[:160]
                         if errs else ""),
+        "mode": mode,
     }
 
 
@@ -325,27 +462,63 @@ def main():
             mode_txt = (" + ".join(parts)
                         + f"; fp32 frame-schedule mode: {core32['fps']:.0f} "
                         f"fps, p95 {core32['tick_ms_p95']:.1f} ms")
+    # Detect-inclusive phase: the HEADLINE number. One XLA program per tick
+    # running SSD-class detection + forensics + crop/align/CLAHE + classify
+    # + verdict for all 64 streams — true capture->verdict on device.
+    detect = None
+    detect_err = ""
+    try:
+        detect = bench_core_detect(bf16=use_bf16, tick_schedule=use_tick)
+        if use_bf16 or use_tick:
+            # same regression fallback as the classify core
+            d32 = bench_core_detect()
+            if d32["fps"] > detect["fps"]:
+                detect = d32
+                mode_txt = "fp32 parity mode (guarded fast modes regressed)"
+    except Exception as e:   # pragma: no cover - never lose the bench line
+        detect_err = f"{type(e).__name__}: {e}"[:200]
+
     try:
         e2e = bench_e2e()
         import os
         ncpu = os.cpu_count() or 1
         err_txt = (f" [{e2e['first_error']}]" if e2e.get("first_error") else "")
-        e2e_txt = (f"; e2e incl. host prep (native C++ prep, {ncpu}-core dev "
-                   f"host, TPU behind ~50MB/s tunnel): {e2e['fps']:.0f} fps, "
+        e2e_txt = (f"; e2e over HTTP-shaped requests ({e2e.get('mode')}, "
+                   f"JPEG decode on a {ncpu}-core dev host, TPU behind "
+                   f"~50MB/s tunnel): {e2e['fps']:.0f} fps, "
                    f"req p95 {e2e['req_ms_p95']:.0f} ms, "
-                   f"{e2e['errors']} errors{err_txt} — host-CPU/tunnel bound, "
-                   "prep is ~12 ms/frame/core and embarrassingly parallel")
+                   f"{e2e['errors']} errors{err_txt} — host-CPU/tunnel "
+                   "bound; decode is per-stream parallel")
     except Exception as e:   # pragma: no cover
         e2e_txt = f"; e2e phase failed: {e}"
 
+    if detect is not None:
+        headline = detect["fps"]
+        unit = (f"frames/s aggregate over 64 streams, FULL capture->verdict "
+                f"per tick in ONE XLA program: 640x480 -> SSD-res10-class "
+                f"detection (synthetic weights, representative FLOPs) + six "
+                f"forensic signals + per-stream crop/align/CLAHE + "
+                f"EfficientNet-B0 + tracker verdict; {mode_txt}; "
+                f"steady-state tick p50 {detect['tick_ms_p50']:.1f} / p95 "
+                f"{detect['tick_ms_p95']:.1f} ms; synchronous per-request "
+                f"latency (host frames -> transfer -> tick -> readback, "
+                f"depth-1) p50 {detect['req_ms_p50']:.0f} / p95 "
+                f"{detect['req_ms_p95']:.0f} ms incl. tunnel RTT; "
+                f"classify-only core (pre-staged faces): {core['fps']:.0f} "
+                f"fps, tick p95 {core['tick_ms_p95']:.1f} ms" + e2e_txt)
+    else:
+        headline = core["fps"]
+        unit = (f"frames/s aggregate over 64 streams, {mode_txt} "
+                f"(steady-state tick p50 {core['tick_ms_p50']:.1f} ms / "
+                f"p95 {core['tick_ms_p95']:.1f} ms, resize+forensics+"
+                f"classify+verdict per tick; detect phase failed: "
+                + detect_err + e2e_txt)
+
     print(json.dumps({
         "metric": "serving_frames_per_sec_per_chip",
-        "value": round(core["fps"], 1),
-        "unit": (f"frames/s aggregate over 64 streams, {mode_txt} "
-                 f"(steady-state tick p50 {core['tick_ms_p50']:.1f} ms / "
-                 f"p95 {core['tick_ms_p95']:.1f} ms, resize+forensics+"
-                 "classify+verdict per tick" + e2e_txt + ")"),
-        "vs_baseline": round(core["fps"] / 10.0, 2),
+        "value": round(headline, 1),
+        "unit": unit,
+        "vs_baseline": round(headline / 10.0, 2),
     }))
     import os
     import sys

@@ -141,6 +141,19 @@ class ServerConfig:
     # or skip ticks follow the tick phase instead of their own frame count
     # (documented deviation — keep False for reference-exact scheduling).
     forensic_tick_schedule: bool = False
+    # Device-detect mode (config 4+: capture->verdict in ONE program/tick):
+    # SSD-Res10 detection, the 300/256 resizes, dynamic crop+align, CLAHE
+    # (when clahe_device), classification and the tracker all run inside the
+    # device tick (serving/batcher.make_device_step_detect). Requires SSD
+    # weights (an engine ssd_net / FaceDetector caffemodel) and the resize
+    # aligner; host work per request drops to JPEG decode (+ a resize to
+    # detect_capture_hw when the capture size differs). Recommended with
+    # clahe_device=True to keep the reference's CLAHE (device-side,
+    # commuted-approximation variant).
+    device_detect: bool = False
+    # Fixed capture shape for the device-detect program (XLA needs static
+    # shapes; 480x640 matches the default test/bench capture).
+    detect_capture_hw: Tuple[int, int] = (480, 640)
     # When the MTCNN aligner is active, expand each detector box up to a
     # multiple of this (clamped to the frame) before cropping. The JAX MTCNN
     # compiles one program per exact crop size (facenet is eager — any jit

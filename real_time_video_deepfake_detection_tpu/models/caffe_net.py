@@ -262,12 +262,14 @@ class CaffeNet:
         return blobs
 
     def _detection_output(self, lay, bottoms, blobs, top_k_out: int = 200):
-        """SSD decode + per-class NMS, fixed-size padded output (1,1,K,7)
+        """SSD decode + per-class NMS, fixed-size padded output (B,1,K,7)
         matching cv2.dnn's DetectionOutput rows
-        [image_id, label, conf, x1, y1, x2, y2]."""
+        [image_id, label, conf, x1, y1, x2, y2]. Batched: the per-example
+        decode+NMS is vmapped over the leading batch axis (the conv trunk is
+        natively batched), which is what lets the serving tick run face
+        detection for all streams in one program."""
         p = lay.get("detection_output_param", {})
         num_classes = int(p.get("num_classes", 2))
-        share_loc = bool(p.get("share_location", True))
         bg = int(p.get("background_label_id", 0))
         nms_p = p.get("nms_param", {})
         nms_thresh = float(nms_p.get("nms_threshold", 0.45))
@@ -276,49 +278,57 @@ class CaffeNet:
         conf_thresh = float(p.get("confidence_threshold", 0.01))
         variance_encoded = bool(p.get("variance_encoded_in_target", False))
 
-        loc = blobs[bottoms[0]].reshape(-1, 4)          # (N,4) cx,cy,w,h deltas
-        conf = blobs[bottoms[1]].reshape(-1, num_classes)
-        priors = blobs[bottoms[2]][0]                   # (2, N*4)
+        loc_all = blobs[bottoms[0]]                     # (B, N*4)
+        conf_all = blobs[bottoms[1]]                    # (B, N*nc)
+        priors = blobs[bottoms[2]][0]                   # (2, N*4), shared
         pb = priors[0].reshape(-1, 4)
         pv = priors[1].reshape(-1, 4)
-
-        # decode (CENTER_SIZE code type)
         pw = pb[:, 2] - pb[:, 0]
         ph = pb[:, 3] - pb[:, 1]
         pcx = (pb[:, 0] + pb[:, 2]) / 2
         pcy = (pb[:, 1] + pb[:, 3]) / 2
-        if variance_encoded:
-            cx = loc[:, 0] * pw + pcx
-            cy = loc[:, 1] * ph + pcy
-            bw = jnp.exp(loc[:, 2]) * pw
-            bh = jnp.exp(loc[:, 3]) * ph
-        else:
-            cx = pv[:, 0] * loc[:, 0] * pw + pcx
-            cy = pv[:, 1] * loc[:, 1] * ph + pcy
-            bw = jnp.exp(pv[:, 2] * loc[:, 2]) * pw
-            bh = jnp.exp(pv[:, 3] * loc[:, 3]) * ph
-        boxes = jnp.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=1)
 
-        # face class = 1 (res10 is binary); generic: take class with max conf != bg
-        cls_ids = jnp.arange(num_classes)
-        rows = []
-        for c in range(num_classes):
-            if c == bg:
-                continue
-            scores = conf[:, c]
-            scores = jnp.where(scores >= conf_thresh, scores, 0.0)
-            keep_scores, keep_boxes = _nms_padded(
-                scores, boxes, nms_thresh, min(nms_top_k, scores.shape[0]), keep_top_k)
-            label = jnp.full((keep_top_k, 1), float(c))
-            img_id = jnp.zeros((keep_top_k, 1))
-            rows.append(jnp.concatenate(
-                [img_id, label, keep_scores[:, None], keep_boxes], axis=1))
-        out = jnp.concatenate(rows, axis=0)
-        # order by score desc, cap at keep_top_k
-        order = jnp.argsort(-out[:, 2])[:keep_top_k]
-        return out[order][None, None]
+        def decode_one(loc_flat, conf_flat):
+            loc = loc_flat.reshape(-1, 4)               # (N,4) deltas
+            conf = conf_flat.reshape(-1, num_classes)
+            # decode (CENTER_SIZE code type)
+            if variance_encoded:
+                cx = loc[:, 0] * pw + pcx
+                cy = loc[:, 1] * ph + pcy
+                bw = jnp.exp(loc[:, 2]) * pw
+                bh = jnp.exp(loc[:, 3]) * ph
+            else:
+                cx = pv[:, 0] * loc[:, 0] * pw + pcx
+                cy = pv[:, 1] * loc[:, 1] * ph + pcy
+                bw = jnp.exp(pv[:, 2] * loc[:, 2]) * pw
+                bh = jnp.exp(pv[:, 3] * loc[:, 3]) * ph
+            boxes = jnp.stack(
+                [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=1)
+
+            rows = []
+            for c in range(num_classes):
+                if c == bg:
+                    continue
+                scores = conf[:, c]
+                scores = jnp.where(scores >= conf_thresh, scores, 0.0)
+                keep_scores, keep_boxes = _nms_padded(
+                    scores, boxes, nms_thresh,
+                    min(nms_top_k, scores.shape[0]), keep_top_k)
+                label = jnp.full((keep_top_k, 1), float(c))
+                img_id = jnp.zeros((keep_top_k, 1))
+                rows.append(jnp.concatenate(
+                    [img_id, label, keep_scores[:, None], keep_boxes], axis=1))
+            out = jnp.concatenate(rows, axis=0)
+            # order by score desc, cap at keep_top_k
+            order = jnp.argsort(-out[:, 2])[:keep_top_k]
+            return out[order]
+
+        out = jax.vmap(decode_one)(loc_all, conf_all)   # (B, K, 7)
+        return out[:, None]                             # (B, 1, K, 7)
 
     def forward(self, x_nchw: np.ndarray) -> Dict[str, jax.Array]:
+        """x_nchw: (B, 3, H, W); every blob, including detection_out
+        (B, 1, K, 7), carries the batch on the leading axis."""
         return self._forward_jit(jnp.asarray(x_nchw, jnp.float32))
 
 

@@ -80,6 +80,80 @@ def resize_bilinear_u8_cv2(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     return out[..., 0] if squeeze else out
 
 
+def _dyn_linear_tables(src_size: jax.Array, dst: int):
+    """OpenCV INTER_LINEAR sample indices/coefficients for a TRACED source
+    extent (used by crop_resize_u8_cv2 for device-side face crops whose box
+    size is data-dependent). Arithmetic is integer-exact where the host
+    tables are: sx = floor(((2x+1)*src - dst) / (2*dst)) via floor division,
+    the fraction as an exact small rational cast to f32, coefficients
+    rint(f * 2048) like saturate_cast<short>(cvRound(...))."""
+    xs = jnp.arange(dst, dtype=jnp.int32)
+    src = src_size.astype(jnp.int32)
+    num = (2 * xs + 1) * src - dst          # 2*dst * fx, exactly
+    den = 2 * dst
+    sx = num // den                          # floor division (matches f64 floor)
+    rem = num - sx * den
+    f = rem.astype(jnp.float32) / jnp.float32(den)
+    f = jnp.where(sx < 0, 0.0, f)
+    sx = jnp.maximum(sx, 0)
+    f = jnp.where(sx >= src - 1, 0.0, f)
+    sx = jnp.minimum(sx, src - 1)
+    a1 = jnp.rint(f * _COEF_SCALE).astype(jnp.int32)
+    a0 = jnp.rint((1.0 - f) * _COEF_SCALE).astype(jnp.int32)
+    sx1 = jnp.minimum(sx + 1, src - 1)
+    return sx, sx1, a0, a1
+
+
+def crop_resize_u8_cv2(img: jax.Array, box_xywh: jax.Array,
+                       dst_h: int, dst_w: int) -> jax.Array:
+    """cv2.resize(img[y:y+h, x:x+w], (dst_w, dst_h), INTER_LINEAR) with a
+    TRACED (x, y, w, h) box — bit-exact vs the static-table path above,
+    including the exact-2x area fast path. This is what lets face
+    crop+alignment run inside the device tick (serving/batcher.py
+    device-detect mode) instead of on the host per request.
+
+    img: (H, W, C) u8; box_xywh: i32[4]. The box is assumed clamped to the
+    frame (the SSD postprocess guarantees it); w/h are floored at 1."""
+    x0 = box_xywh[0].astype(jnp.int32)
+    y0 = box_xywh[1].astype(jnp.int32)
+    w = jnp.maximum(box_xywh[2].astype(jnp.int32), 1)
+    h = jnp.maximum(box_xywh[3].astype(jnp.int32), 1)
+    H, W = img.shape[0], img.shape[1]
+
+    sx, sx1, ax0, ax1 = _dyn_linear_tables(w, dst_w)
+    sy, sy1, ay0, ay1 = _dyn_linear_tables(h, dst_h)
+    gx, gx1 = jnp.clip(x0 + sx, 0, W - 1), jnp.clip(x0 + sx1, 0, W - 1)
+    gy, gy1 = jnp.clip(y0 + sy, 0, H - 1), jnp.clip(y0 + sy1, 0, H - 1)
+
+    i32 = img.astype(jnp.int32)
+    rows = i32[:, gx, :] * ax0[None, :, None] + i32[:, gx1, :] * ax1[None, :, None]
+    s0 = rows[gy, :, :] >> 4
+    s1 = rows[gy1, :, :] >> 4
+    lin = ((((ay0[:, None, None] * s0) >> 16)
+            + ((ay1[:, None, None] * s1) >> 16) + 2) >> 2)
+
+    # exact-2x downscale: OpenCV switches to 2x2 area averaging
+    ys2 = 2 * jnp.arange(dst_h, dtype=jnp.int32)
+    xs2 = 2 * jnp.arange(dst_w, dtype=jnp.int32)
+    g2y = jnp.clip(y0 + ys2, 0, H - 1)
+    g2y1 = jnp.clip(y0 + ys2 + 1, 0, H - 1)
+    g2x = jnp.clip(x0 + xs2, 0, W - 1)
+    g2x1 = jnp.clip(x0 + xs2 + 1, 0, W - 1)
+    blk = (i32[g2y][:, g2x] + i32[g2y][:, g2x1]
+           + i32[g2y1][:, g2x] + i32[g2y1][:, g2x1])
+    area = (blk + 2) >> 2
+
+    # identity when the box is exactly dst-sized
+    idy = jnp.clip(y0 + jnp.arange(dst_h, dtype=jnp.int32), 0, H - 1)
+    idx = jnp.clip(x0 + jnp.arange(dst_w, dtype=jnp.int32), 0, W - 1)
+    ident = i32[idy][:, idx]
+
+    is_id = (h == dst_h) & (w == dst_w)
+    is_2x = (h == 2 * dst_h) & (w == 2 * dst_w)
+    out = jnp.where(is_id, ident, jnp.where(is_2x, area, lin))
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
 @functools.lru_cache(maxsize=None)
 def _linear_tables_f32(src: int, dst: int):
     scale = src / dst

@@ -134,7 +134,10 @@ def _step_core(spec, cfg: DetectorConfig, params,
         from ..kernels.clahe import clahe_u8_pallas
         from ..ops.color import lab_to_rgb_u8, rgb_to_lab_u8
         lab = rgb_to_lab_u8(faces_raw)
-        L = jax.vmap(clahe_u8_pallas)(lab[..., 0])
+        # Pallas compiles natively on TPU; CPU (tests, dryrun) only supports
+        # interpret mode — same numerics, slower.
+        interp = jax.default_backend() == "cpu"
+        L = jax.vmap(lambda a: clahe_u8_pallas(a, interpret=interp))(lab[..., 0])
         faces_raw = lab_to_rgb_u8(
             jnp.stack([L, lab[..., 1], lab[..., 2]], axis=-1))
 
@@ -238,6 +241,71 @@ def device_step_compact(spec, cfg: DetectorConfig, params,
     new_full = jax.tree.map(
         lambda full, ns: full.at[slot_idx].set(ns), states, new_sub)
     return out, new_full
+
+
+def make_device_step_detect(net, spec, cfg: DetectorConfig):
+    """ONE XLA program per tick for the full capture->verdict path
+    (round-2 verdict #1: face detection batched into the serving tick):
+
+      frames (B, Hc, Wc, 3 u8 BGR, capture size)
+        -> cv2-parity resize 300 + mean-sub -> SSD-Res10 Caffe graph ->
+           DetectionOutput decode + NMS -> reference box selection
+           (conf > 0.5, clamp, min 20 px; face_detection.py:71-105)
+        -> cv2-parity resize 256 -> six forensic signals
+        -> per-stream dynamic crop + cv2-parity align resize 160 (RGB)
+           [+ device CLAHE when cfg.clahe_device]
+        -> classifier -> small-face heuristic -> tracker update -> verdict
+
+    `net` is the compiled Caffe graph (models/caffe_net.CaffeNet). Uses the
+    compact slot-indexed state layout (see device_step_compact): inputs
+    carry B <= N_slots entries, slot_idx maps to rows of the (N_slots+1)-row
+    state pytree, padded entries target the dummy row with active=False.
+
+    Alignment note: this pairs with the resize aligner (the MTCNN aligner
+    re-detects on host and cannot live in the tick); CLAHE runs on-device on
+    the aligned crop when cfg.clahe_device (the documented commuted
+    approximation), matching the engine's host path with the same flag.
+    """
+    from ..models.ssd_res10 import detect_postprocess_batch
+    from ..ops.resize import crop_resize_u8_cv2
+
+    h256, w256 = cfg.forensic.analysis_size
+    m = cfg.mtcnn_image_size
+
+    @jax.jit
+    def step(params, frames_capture_u8, active, slot_idx, states):
+        hc, wc = frames_capture_u8.shape[1], frames_capture_u8.shape[2]
+        resized300 = jax.vmap(
+            lambda f: resize_bilinear_u8_cv2(f, 300, 300))(frames_capture_u8)
+        blob = resized300.astype(jnp.float32) - jnp.asarray(
+            [104.0, 177.0, 123.0], jnp.float32)
+        det = net._forward(jnp.transpose(blob, (0, 3, 1, 2)))["detection_out"]
+        d = detect_postprocess_batch(det, hc, wc,
+                                     cfg.ssd_confidence_threshold,
+                                     cfg.min_face_px)
+        box = d["box_xywh"]
+        has_face = d["has_face"] & active
+
+        frames_256 = jax.vmap(
+            lambda f: resize_bilinear_u8_cv2(f, h256, w256))(frames_capture_u8)
+        # BGR frame -> RGB aligned crop (the host aligner's channel order,
+        # pipeline/detector._ResizeAligner)
+        faces_raw = jax.vmap(
+            lambda f, b: crop_resize_u8_cv2(f[:, :, ::-1], b, m, m)
+        )(frames_capture_u8, box)
+        face_hw = jnp.stack([box[:, 3], box[:, 2]], axis=1)  # (fh, fw)
+
+        sub = jax.tree.map(lambda s: s[slot_idx], states)
+        out, new_sub = _step_core(spec, cfg, params, frames_256, faces_raw,
+                                  has_face, face_hw, active, sub)
+        new_full = jax.tree.map(
+            lambda full, ns: full.at[slot_idx].set(ns), states, new_sub)
+        out["face_bbox"] = box
+        out["has_face"] = has_face
+        out["faces_detected"] = d["n_faces"]
+        return out, new_full
+
+    return step
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -40,11 +40,14 @@ from .wsgi import App, Request, Response, jsonify
 @dataclass
 class _Pending:
     stream_slot: int
-    frame_256: np.ndarray          # (256,256,3) u8
-    face_raw: Optional[np.ndarray]  # (160,160,3) f32 or None
-    face_hw: tuple
-    faces_detected: int
-    bbox: Optional[tuple]
+    frame_256: Optional[np.ndarray] = None   # (256,256,3) u8 (host-prep mode)
+    face_raw: Optional[np.ndarray] = None    # (160,160,3) f32/u8 or None
+    face_hw: tuple = (0, 0)
+    faces_detected: int = 0
+    bbox: Optional[tuple] = None
+    # device-detect mode: the capture-size frame; detection/align/crop all
+    # happen inside the tick (serving/batcher.make_device_step_detect)
+    frame_capture: Optional[np.ndarray] = None
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     t_start: float = 0.0
@@ -58,7 +61,7 @@ class MultiStreamEngine:
                  server_cfg: ServerConfig = ServerConfig(),
                  params=None, spec=None,
                  aligner=None, face_detector: Optional[FaceDetector] = None,
-                 clip_head_params=None):
+                 clip_head_params=None, ssd_net=None):
         self.server_cfg = server_cfg
         self.spec = spec if spec is not None else backbones.make("b0")
         if cfg.clip_window > 0:
@@ -109,6 +112,27 @@ class MultiStreamEngine:
         else:
             self._tick_cfgs = (cfg, cfg)
         self._tick_no = 0
+
+        # Device-detect mode (ServerConfig.device_detect): SSD detection +
+        # crop/align fused into the tick. Requires SSD weights and the
+        # resize aligner (MTCNN re-detects on host and cannot be fused).
+        self._detect_steps = None
+        if server_cfg.device_detect:
+            if type(self.aligner).__name__ == "MTCNNAligner":
+                raise ValueError("device_detect pairs with the resize "
+                                 "aligner; the MTCNN aligner is host-side")
+            net = ssd_net
+            if net is None:
+                ssd = getattr(self.face_detector, "_ssd", None)
+                net = ssd.net if ssd is not None else None
+            if net is None:
+                raise ValueError(
+                    "device_detect requires SSD weights: pass ssd_net= or "
+                    "construct the FaceDetector with a caffemodel")
+            from .batcher import make_device_step_detect
+            self._detect_steps = {
+                c: make_device_step_detect(net, self.spec, c)
+                for c in dict.fromkeys(self._tick_cfgs)}
 
         self.n_slots = server_cfg.max_streams
         # +1 dummy row: padded entries of compact (occupancy-bucketed)
@@ -163,6 +187,16 @@ class MultiStreamEngine:
     def _warmup(self):
         """Compile every bucket's device step before serving (first compile
         is tens of seconds; requests must never pay it)."""
+        if self._detect_steps is not None:
+            ch, cw = self.server_cfg.detect_capture_hw
+            for step in dict.fromkeys(self._detect_steps.values()):
+                for b in self.buckets:
+                    out, _ = step(
+                        self.params, jnp.zeros((b, ch, cw, 3), jnp.uint8),
+                        jnp.zeros((b,), bool),
+                        jnp.full((b,), self.n_slots, jnp.int32), self.states)
+                    jax.block_until_ready(out["verdict"])
+            return
         h, w = self.cfg.forensic.analysis_size
         m = self.cfg.mtcnn_image_size
         for cfg in dict.fromkeys(self._tick_cfgs):   # unique variants
@@ -251,6 +285,8 @@ class MultiStreamEngine:
         (no SSD weights, no cv2 haar, no cascade XML — or the config pinned
         face_backend="heuristic"); otherwise the Python path runs the real
         detector so /analyze behavior always matches engine.analyze."""
+        if self._detect_steps is not None:   # detection runs in the tick
+            return False
         if type(self.aligner).__name__ != "_ResizeAligner":
             return False
         if self.cfg.clahe_device:   # native prep applies host CLAHE
@@ -295,9 +331,29 @@ class MultiStreamEngine:
     def analyze(self, frame_bgr: np.ndarray, stream_id: str = "default",
                 timeout: float = 60.0) -> dict:
         """Host-side prep (resize, face detect, align) then enqueue for the
-        next device tick. Blocks until the tick completes."""
+        next device tick. Blocks until the tick completes.
+
+        In device-detect mode the ONLY host prep is conforming the frame to
+        the fixed capture shape; detection, resizes, crop/align, CLAHE,
+        classification and the tracker all run inside the tick."""
         t0 = time.time()
         slot = self.slot_for(stream_id)
+
+        if self._detect_steps is not None:
+            ch, cw = self.server_cfg.detect_capture_hw
+            if frame_bgr.shape[:2] != (ch, cw):
+                # off-size capture: conform on host (bit-exact cv2 resize);
+                # returned bbox coords are then in capture-frame space
+                from ..utils.host_resize import resize_analysis
+                frame_bgr = resize_analysis(frame_bgr, ch, cw)
+            p = _Pending(stream_slot=slot, frame_capture=frame_bgr,
+                         t_start=t0)
+            with self.queue_cv:
+                self.queue.append(p)
+                self.queue_cv.notify()
+            if not p.event.wait(timeout):
+                raise TimeoutError("device tick timed out")
+            return p.result
 
         h, w = self.cfg.forensic.analysis_size
         from ..utils.host_resize import resize_analysis
@@ -380,6 +436,8 @@ class MultiStreamEngine:
     def _run_tick(self, batch: List[_Pending]):
         """Assemble the compact bucketed batch and DISPATCH one device step;
         results are completed asynchronously by _drain_loop."""
+        if self._detect_steps is not None:
+            return self._run_tick_detect(batch)
         b = self._bucket_for(len(batch))
         h, w = self.cfg.forensic.analysis_size
         frames = np.zeros((b, h, w, 3), np.uint8)
@@ -428,6 +486,42 @@ class MultiStreamEngine:
         # blocks only when `pipeline_depth` ticks are already in flight
         self._inflight.put((out, entries, has_face, t_dev))
 
+    def _run_tick_detect(self, batch: List[_Pending]):
+        """Device-detect tick: the only host work is stacking the capture
+        frames; SSD detection, resizes, crop/align and classification run in
+        ONE dispatched program (batcher.make_device_step_detect)."""
+        b = self._bucket_for(len(batch))
+        ch, cw = self.server_cfg.detect_capture_hw
+        frames = np.zeros((b, ch, cw, 3), np.uint8)
+        active = np.zeros(b, bool)
+        slot_idx = np.full(b, self.n_slots, np.int32)   # dummy slot
+        entries: List[_Pending] = []
+        for i, p in enumerate(batch):
+            entries.append(p)
+            slot_idx[i] = p.stream_slot
+            frames[i] = p.frame_capture
+            active[i] = True
+
+        t_dev = time.time()
+        with self.lock:
+            interval = self.cfg.full_forensic_interval
+            step = self._detect_steps[
+                self._tick_cfgs[0 if self._tick_no % interval == 0 else 1]]
+            self._tick_no += 1
+            states = self.states
+            self._pending_reset = None
+        out, new_states = step(self.params, jnp.asarray(frames),
+                               jnp.asarray(active), jnp.asarray(slot_idx),
+                               states)
+        with self.lock:
+            if self._pending_reset is not None:
+                new_states = reset_streams(
+                    new_states, jnp.asarray(self._pending_reset))
+                self._pending_reset = None
+            self.states = new_states
+        # has_face=None: the drainer reads it from the device output
+        self._inflight.put((out, entries, None, t_dev))
+
     def _drain_loop(self):
         while not self._stop:
             try:
@@ -448,6 +542,8 @@ class MultiStreamEngine:
 
     def _complete(self, out: Dict[str, np.ndarray],
                   entries: List[_Pending], has_face, t_dev: float):
+        if has_face is None:   # device-detect mode: detection ran on device
+            has_face = out["has_face"]
         m = self.metrics
         n_req = len(entries)
         m["ticks"] += 1
@@ -466,10 +562,12 @@ class MultiStreamEngine:
             forensic_prob = float(out["frame_forensic_probability"][i])
             verdict = VERDICT_NAMES[int(out["verdict"][i])]
             ms = round((time.time() - p.t_start) * 1000, 1)
+            faces_detected = (int(out["faces_detected"][i])
+                              if "faces_detected" in out else p.faces_detected)
             resp = {
                 "success": True,
                 "analysis_mode": "face+frame" if has_face[i] else "frame_only",
-                "faces_detected": p.faces_detected,
+                "faces_detected": faces_detected,
                 "fake_probability": fake_prob,
                 "frame_forensic_probability": forensic_prob,
                 "real_probability": 1.0 - fake_prob,
@@ -481,7 +579,9 @@ class MultiStreamEngine:
             }
             if has_face[i]:
                 resp["face_probability"] = face_prob
-                x, y, fw, fh = p.bbox
+                bbox = (p.bbox if p.bbox is not None
+                        else tuple(int(v) for v in out["face_bbox"][i]))
+                x, y, fw, fh = bbox
                 resp["face_bbox"] = {"x": int(x), "y": int(y),
                                      "width": int(fw), "height": int(fh)}
             if "clip_probability" in out:   # clip-attention mode (config 5)

@@ -257,6 +257,13 @@ def main(argv=None):
     p.add_argument("--face-backend", default="auto",
                    choices=["auto", "ssd", "haar", "haar_native", "heuristic"],
                    help="pin a detector-ladder rung (pipeline/faces.py)")
+    p.add_argument("--ssd-weights", default=None,
+                   help="res10 caffemodel path (deploy.prototxt alongside); "
+                        "enables the SSD ladder rung and --device-detect")
+    p.add_argument("--device-detect", action="store_true",
+                   help="batched mode only: run SSD detection + crop/align "
+                        "inside the device tick (one XLA program for "
+                        "capture->verdict); requires --ssd-weights")
     args = p.parse_args(argv)
     import dataclasses as _dc
     from ..models import backbones
@@ -293,15 +300,23 @@ def main(argv=None):
 
         scfg = ServerConfig(detection_threshold=args.threshold,
                             max_streams=args.max_streams,
-                            batch_timeout_ms=args.batch_timeout_ms)
+                            batch_timeout_ms=args.batch_timeout_ms,
+                            device_detect=args.device_detect)
         params = _load_params()
         clip_head = None
         if args.clip_head:
             from ..train.checkpoint import load_checkpoint as load_tree
             clip_head, _, _ = load_tree(args.clip_head,
                                         restore_host_rng=False)
+        fd = None
+        if args.ssd_weights:
+            from ..pipeline.faces import FaceDetector
+            fd = FaceDetector(ssd_weights_path=args.ssd_weights,
+                              confidence_threshold=cfg.ssd_confidence_threshold,
+                              min_face_px=cfg.min_face_px,
+                              backend=args.face_backend)
         engine = MultiStreamEngine(cfg, scfg, params=params, spec=spec,
-                                   aligner=aligner,
+                                   aligner=aligner, face_detector=fd,
                                    clip_head_params=clip_head)
         app = create_batched_app(engine, scfg)
 
@@ -315,6 +330,7 @@ def main(argv=None):
         httpd.serve_forever()
         return
     det = DeepfakeDetector(cfg, params=_load_params(), spec=spec,
+                           ssd_weights_path=args.ssd_weights,
                            mtcnn_weights_path=args.mtcnn_weights)
     serve(args.host, args.port, det)
 

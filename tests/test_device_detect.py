@@ -1,0 +1,164 @@
+"""Device-detect mode tests (round-2 verdict #1: face detection batched into
+the serving device tick).
+
+Layers under test:
+  - ops/resize.crop_resize_u8_cv2: dynamic-box crop+resize, bit-exact vs the
+    static cv2-parity tables
+  - models/ssd_res10.detect_postprocess_batch / make_detect_batch: the
+    batched device detector vs the per-frame host SSDRes10.detect
+    (reference semantics: conf > 0.5 strictly, int() truncation, clamp to
+    frame, both sides > 20 px; face_detection.py:71-105)
+  - serving/batcher.make_device_step_detect + MultiStreamEngine device-detect
+    mode: whole-tick parity vs the host-prep engine on identical frames
+
+A synthetic res10-class SSD (utils/ssd_synth.py; ResNet-style 300x300 trunk,
+3 SSD head scales, random-but-tame weights that do produce detections on
+noise frames) stands in for the reference caffemodel, which is a
+user-supplied download there too.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from real_time_video_deepfake_detection_tpu.ops.resize import (
+    crop_resize_u8_cv2, resize_bilinear_u8_cv2,
+)
+
+rng = np.random.default_rng(17)
+
+
+def test_crop_resize_dynamic_matches_static():
+    img = rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    jimg = jnp.asarray(img)
+    f = jax.jit(lambda im, b: crop_resize_u8_cv2(im, b, 160, 160))
+    boxes = [(5, 7, 33, 47), (0, 0, 320, 240), (100, 50, 160, 160),
+             (10, 20, 320 - 10, 21)]
+    for _ in range(8):
+        w = int(rng.integers(20, 300)); h = int(rng.integers(20, 220))
+        boxes.append((int(rng.integers(0, 320 - w)),
+                      int(rng.integers(0, 240 - h)), w, h))
+    for (x, y, w, h) in boxes:
+        want = np.asarray(resize_bilinear_u8_cv2(
+            jnp.asarray(img[y:y + h, x:x + w]), 160, 160))
+        got = np.asarray(f(jimg, jnp.asarray([x, y, w, h], np.int32)))
+        np.testing.assert_array_equal(got, want, err_msg=str((x, y, w, h)))
+
+
+def test_crop_resize_2x_area_fast_path():
+    """The exact-2x downscale must take OpenCV's area-averaging path."""
+    img = rng.integers(0, 256, (400, 400, 3), dtype=np.uint8)
+    got = np.asarray(crop_resize_u8_cv2(
+        jnp.asarray(img), jnp.asarray([40, 30, 320, 320], np.int32), 160, 160))
+    want = np.asarray(resize_bilinear_u8_cv2(
+        jnp.asarray(img[30:350, 40:360]), 160, 160))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def synth_ssd(tmp_path_factory):
+    from real_time_video_deepfake_detection_tpu.models.ssd_res10 import SSDRes10
+    from real_time_video_deepfake_detection_tpu.utils.ssd_synth import (
+        res10_class_ssd,
+    )
+    d = tmp_path_factory.mktemp("ssd")
+    # mini channel widths: same graph/ops/priors as the res10-class bench
+    # detector, CPU-friendly compile
+    proto, cm = res10_class_ssd(str(d), seed=3, channels=(8, 16, 32, 64))
+    return SSDRes10.from_caffemodel(cm, proto)
+
+
+def test_batched_detect_matches_host_per_frame(synth_ssd):
+    from real_time_video_deepfake_detection_tpu.models.ssd_res10 import (
+        make_detect_batch,
+    )
+    frames = rng.integers(0, 256, (6, 240, 320, 3), dtype=np.uint8)
+    host = [synth_ssd.detect(f, 0.5, 20) for f in frames]
+    out = make_detect_batch(synth_ssd.net, 0.5, 20)(jnp.asarray(frames))
+    assert any(host), "synthetic SSD produced no detections at all"
+    for i, hb in enumerate(host):
+        assert bool(out["has_face"][i]) == (len(hb) > 0)
+        assert int(out["n_faces"][i]) == len(hb)
+        if hb:
+            got = tuple(int(v) for v in np.asarray(out["box_xywh"][i]))
+            assert got == hb[0], (i, got, hb[0])
+
+
+@pytest.mark.slow
+def test_engine_device_detect_matches_host_path(synth_ssd):
+    """Same frames through (a) the device-detect engine and (b) the host-prep
+    engine with the SSD rung pinned: responses must agree — probabilities,
+    verdicts, bboxes, faces_detected, frame counts."""
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig, ServerConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.pipeline.faces import (
+        FaceDetector,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        MultiStreamEngine,
+    )
+
+    # clahe_device=True on BOTH: host mode then ships the raw RGB crop and
+    # the tick applies CLAHE — identical preprocessing to the fused path.
+    cfg = dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                              clahe_device=True)
+    scfg_host = ServerConfig(max_streams=4, max_batch=4, batch_timeout_ms=2.0,
+                             min_request_interval=0.0)
+    scfg_dev = dataclasses.replace(scfg_host, device_detect=True)
+
+    fd_host = FaceDetector(backend="heuristic")
+    fd_host._ssd = synth_ssd
+    for r in fd_host._LADDER:
+        fd_host._ok[r] = r == "ssd"
+
+    eng_host = MultiStreamEngine(cfg, scfg_host, face_detector=fd_host)
+    eng_dev = MultiStreamEngine(cfg, scfg_dev, ssd_net=synth_ssd.net)
+
+    frames = rng.integers(0, 256, (5, 480, 640, 3), dtype=np.uint8)
+    for i, f in enumerate(frames):
+        a = eng_host.analyze(f, "s0")
+        b = eng_dev.analyze(f, "s0")
+        for k in ("analysis_mode", "faces_detected", "confidence_level",
+                  "frame_count"):
+            assert a[k] == b[k], (i, k, a, b)
+        for k in ("fake_probability", "frame_forensic_probability",
+                  "temporal_average", "stability_score"):
+            assert a[k] == pytest.approx(b[k], abs=1e-5), (i, k, a[k], b[k])
+        assert a.get("face_bbox") == b.get("face_bbox"), (i, a, b)
+    eng_host.shutdown()
+    eng_dev.shutdown()
+
+
+@pytest.mark.slow
+def test_engine_device_detect_streams_and_reset(synth_ssd):
+    """Per-stream state isolation and /reset semantics hold in detect mode;
+    off-size captures are conformed to the fixed capture shape."""
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig, ServerConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        MultiStreamEngine,
+    )
+
+    eng = MultiStreamEngine(
+        DetectorConfig().with_threshold(0.55),
+        ServerConfig(max_streams=4, max_batch=4, batch_timeout_ms=2.0,
+                     min_request_interval=0.0, device_detect=True),
+        ssd_net=synth_ssd.net)
+    f0 = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    f_odd = rng.integers(0, 256, (250, 330, 3), dtype=np.uint8)  # off-size
+    for _ in range(3):
+        ra = eng.analyze(f0, "a")
+    rb = eng.analyze(f_odd, "b")
+    assert ra["frame_count"] == 3
+    assert rb["frame_count"] == 1
+    eng.reset("a")
+    assert eng.frame_count("a") == 0
+    assert eng.frame_count("b") == 1
+    r = eng.analyze(f0, "a")
+    assert r["frame_count"] == 1
+    eng.shutdown()
