@@ -154,6 +154,12 @@ class ServerConfig:
     # Fixed capture shape for the device-detect program (XLA needs static
     # shapes; 480x640 matches the default test/bench capture).
     detect_capture_hw: Tuple[int, int] = (480, 640)
+    # Threads for the per-tick pooled native JPEG decode+resize
+    # (native/ingest.cpp ingest_decode_resize_batch): in device-detect mode
+    # requests enqueue RAW JPEG bytes and the batcher drains the whole tick
+    # through ONE GIL-free native call. 0 = the native default
+    # (hardware_concurrency).
+    prep_threads: int = 0
     # When the MTCNN aligner is active, expand each detector box up to a
     # multiple of this (clamped to the frame) before cropping. The JAX MTCNN
     # compiles one program per exact crop size (facenet is eager — any jit

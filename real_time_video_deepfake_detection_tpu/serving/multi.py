@@ -48,6 +48,9 @@ class _Pending:
     # device-detect mode: the capture-size frame; detection/align/crop all
     # happen inside the tick (serving/batcher.make_device_step_detect)
     frame_capture: Optional[np.ndarray] = None
+    # device-detect JPEG fast path: raw bytes; the BATCHER decodes the whole
+    # tick's worth in one pooled native call (tick-granular host prep)
+    jpeg: Optional[bytes] = None
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     t_start: float = 0.0
@@ -300,10 +303,27 @@ class MultiStreamEngine:
 
     def analyze_jpeg(self, data: bytes, stream_id: str = "default",
                      timeout: float = 60.0) -> Optional[dict]:
-        """JPEG fast path: decode -> resize -> detect -> CLAHE -> align in
-        ONE GIL-free native call (native/ingest.cpp ingest_prep_frame), then
-        enqueue for the next tick. Returns None when the native path is
-        unavailable (caller decodes and uses analyze())."""
+        """JPEG fast path. Two variants:
+
+        device-detect mode: enqueue the RAW bytes; the batcher drains the
+        whole tick through ONE pooled native decode+resize call
+        (tick-granular host prep — request threads do zero image work). A
+        failed decode returns {"error": "Invalid image format",
+        "status": 400}.
+
+        host-prep mode: decode -> resize -> detect -> CLAHE -> align in one
+        GIL-free native call (ingest_prep_frame) per request. Returns None
+        when that path is unavailable (caller decodes and uses analyze())."""
+        if self._detect_steps is not None:
+            t0 = time.time()
+            slot = self.slot_for(stream_id)
+            p = _Pending(stream_slot=slot, jpeg=data, t_start=t0)
+            with self.queue_cv:
+                self.queue.append(p)
+                self.queue_cv.notify()
+            if not p.event.wait(timeout):
+                raise TimeoutError("device tick timed out")
+            return p.result
         if not self._native_prep_eligible():
             return None
         from ..utils.native_ingest import prep_frame
@@ -487,11 +507,44 @@ class MultiStreamEngine:
         self._inflight.put((out, entries, has_face, t_dev))
 
     def _run_tick_detect(self, batch: List[_Pending]):
-        """Device-detect tick: the only host work is stacking the capture
-        frames; SSD detection, resizes, crop/align and classification run in
-        ONE dispatched program (batcher.make_device_step_detect)."""
-        b = self._bucket_for(len(batch))
+        """Device-detect tick. Host work: ONE pooled native decode+resize
+        call for every JPEG request in the tick (ingest_decode_resize_batch,
+        ServerConfig.prep_threads workers, GIL released) + stacking; SSD
+        detection, resizes, crop/align and classification run in ONE
+        dispatched program (batcher.make_device_step_detect)."""
         ch, cw = self.server_cfg.detect_capture_hw
+        t_prep = time.time()
+        jpeg_entries = [p for p in batch if p.jpeg is not None]
+        if jpeg_entries:
+            decoded = None
+            ok = None
+            from ..utils.native_ingest import decode_resize_batch
+            decoded, ok = decode_resize_batch(
+                [p.jpeg for p in jpeg_entries], ch, cw,
+                self.server_cfg.prep_threads)
+            for j, p in enumerate(jpeg_entries):
+                if decoded is not None and ok[j]:
+                    p.frame_capture = decoded[j]
+                    continue
+                # native unavailable or this JPEG corrupt: cv2 fallback
+                import cv2
+                arr = np.frombuffer(p.jpeg, np.uint8)
+                f = cv2.imdecode(arr, cv2.IMREAD_COLOR) if arr.size else None
+                if f is None:
+                    p.result = {"error": "Invalid image format",
+                                "status": 400}
+                    p.event.set()
+                    continue
+                if f.shape[:2] != (ch, cw):
+                    from ..utils.host_resize import resize_analysis
+                    f = resize_analysis(f, ch, cw)
+                p.frame_capture = f
+            batch = [p for p in batch if p.frame_capture is not None]
+            if not batch:
+                return
+        self._ewma("ewma_host_prep_ms", (time.time() - t_prep) * 1000)
+
+        b = self._bucket_for(len(batch))
         frames = np.zeros((b, ch, cw, 3), np.uint8)
         active = np.zeros(b, bool)
         slot_idx = np.full(b, self.n_slots, np.int32)   # dummy slot
@@ -553,8 +606,11 @@ class MultiStreamEngine:
         # ticks of in-flight queue wait, NOT pure device time
         self._ewma("ewma_tick_latency_ms", (time.time() - t_dev) * 1000)
         self._ewma("ewma_batch_size", float(n_req))
-        host_ms = [(t_dev - p.t_start) * 1000 for p in entries]
-        self._ewma("ewma_host_prep_ms", float(np.mean(host_ms)))
+        if self._detect_steps is None:
+            # host-prep mode: prep happens in request threads before enqueue
+            # (in detect mode _run_tick_detect measures the pooled decode)
+            host_ms = [(t_dev - p.t_start) * 1000 for p in entries]
+            self._ewma("ewma_host_prep_ms", float(np.mean(host_ms)))
 
         for i, p in enumerate(entries):
             fake_prob = float(out["fake_probability"][i])
@@ -645,10 +701,16 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
             return jsonify({"error": "No frame provided"}, 400)
         data = req.files["frame"]
         try:
-            # JPEG fast path: one GIL-free native prep call
+            # JPEG fast path: zero image work in this request thread —
+            # either the per-request native prep call (host-prep mode) or
+            # deferred bytes decoded by the batcher's pooled call per tick
+            # (device-detect mode)
             if data[:2] == b"\xff\xd8":
                 result = engine.analyze_jpeg(data, sid)
                 if result is not None:
+                    if "error" in result:
+                        return jsonify({"error": result["error"]},
+                                       result.get("status", 500))
                     return jsonify(result)
             # Python path: native decode (JPEG) or cv2 (PNG/BMP/fallback)
             frame = None

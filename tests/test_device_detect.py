@@ -134,6 +134,46 @@ def test_engine_device_detect_matches_host_path(synth_ssd):
 
 
 @pytest.mark.slow
+def test_engine_device_detect_jpeg_tick_pooled_prep(synth_ssd):
+    """In device-detect mode analyze_jpeg enqueues RAW bytes and the batcher
+    decodes the whole tick in one pooled native call (tick-granular host
+    prep, round-2 verdict #3): results match analyze() on the decoded frame,
+    and a corrupt JPEG yields a 400-shaped error without killing the tick."""
+    import cv2
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig, ServerConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        MultiStreamEngine,
+    )
+
+    eng = MultiStreamEngine(
+        DetectorConfig().with_threshold(0.55),
+        ServerConfig(max_streams=4, max_batch=4, batch_timeout_ms=2.0,
+                     min_request_interval=0.0, device_detect=True),
+        ssd_net=synth_ssd.net)
+    frame = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    ok, enc = cv2.imencode(".jpg", frame)
+    data = enc.tobytes()
+    decoded = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+
+    r_jpeg = eng.analyze_jpeg(data, "j")
+    r_frame = eng.analyze(decoded, "f")
+    for k in ("analysis_mode", "faces_detected", "confidence_level"):
+        assert r_jpeg[k] == r_frame[k], (k, r_jpeg, r_frame)
+    assert r_jpeg["fake_probability"] == pytest.approx(
+        r_frame["fake_probability"], abs=1e-6)
+
+    bad = eng.analyze_jpeg(b"\xff\xd8garbage-not-a-jpeg", "j")
+    assert bad["error"] == "Invalid image format"
+    assert bad["status"] == 400
+    # the stream still works after a bad frame
+    r2 = eng.analyze_jpeg(data, "j")
+    assert r2["frame_count"] == 2
+    eng.shutdown()
+
+
+@pytest.mark.slow
 def test_engine_device_detect_streams_and_reset(synth_ssd):
     """Per-stream state isolation and /reset semantics hold in detect mode;
     off-size captures are conformed to the fixed capture shape."""
