@@ -223,9 +223,56 @@ def _synth_ssd():
     return SSDRes10.from_caffemodel(cm, proto)
 
 
+def detect_ssd_bf16_guard(n_streams=64, n_ticks=3):
+    """bf16 SSD trunk is allowed into the headline only when, on identical
+    frames and state, it yields IDENTICAL integer boxes / face flags /
+    counts and <1e-3 probability drift vs the f32 trunk."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_video_deepfake_detection_tpu.core.config import DetectorConfig
+    from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+        EfficientNetSpec, init_params,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.batcher import (
+        init_stream_states, make_device_step_detect,
+    )
+
+    spec = EfficientNetSpec.make("b0")
+    cfg32 = dataclasses.replace(DetectorConfig().with_threshold(0.55),
+                                clahe_device=True)
+    cfg16 = dataclasses.replace(cfg32, ssd_bf16=True)
+    net = _synth_ssd().net
+    s32 = make_device_step_detect(net, spec, cfg32)
+    s16 = make_device_step_detect(net, spec, cfg16)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(11)
+    active = jnp.ones((n_streams,), bool)
+    slot_idx = jnp.arange(n_streams, dtype=jnp.int32)
+    st32 = init_stream_states(n_streams + 1, cfg32)
+    st16 = init_stream_states(n_streams + 1, cfg16)
+    ok = True
+    max_dp = 0.0
+    for t in range(n_ticks):
+        frames = jnp.asarray(rng.integers(0, 256, (n_streams, 480, 640, 3),
+                                          dtype=np.uint8))
+        o32, st32 = s32(params, frames, active, slot_idx, st32)
+        o16, st16 = s16(params, frames, active, slot_idx, st16)
+        ok &= bool(jnp.all(o32["face_bbox"] == o16["face_bbox"]))
+        ok &= bool(jnp.all(o32["has_face"] == o16["has_face"]))
+        ok &= bool(jnp.all(o32["faces_detected"] == o16["faces_detected"]))
+        ok &= bool(jnp.all(o32["verdict"] == o16["verdict"]))
+        max_dp = max(max_dp, float(jnp.max(jnp.abs(
+            o32["fake_probability"] - o16["fake_probability"]))))
+    return {"ok": ok and max_dp < 1e-3, "max_prob_diff": max_dp,
+            "boxes_equal": ok}
+
+
 def bench_core_detect(n_streams=64, window=8, n_windows=10, warm_windows=2,
                       bf16=False, tick_schedule=False, latency_iters=30,
-                      clahe=True):
+                      clahe=True, ssd_bf16=False):
     """Capture->verdict serving core: SSD-Res10-class detection (300 resize +
     trunk + DetectionOutput + NMS + reference box selection), 256 resize +
     forensics, per-stream dynamic crop + align + device CLAHE, classifier,
@@ -253,7 +300,7 @@ def bench_core_detect(n_streams=64, window=8, n_windows=10, warm_windows=2,
     n_variants = 4
     spec = EfficientNetSpec.make("b0")
     cfg = dataclasses.replace(DetectorConfig().with_threshold(0.55),
-                              clahe_device=clahe)
+                              clahe_device=clahe, ssd_bf16=ssd_bf16)
     if bf16:
         cfg = dataclasses.replace(cfg, bf16_inference=True)
     if tick_schedule:
@@ -498,13 +545,32 @@ def main():
     # + verdict for all 64 streams — true capture->verdict on device.
     detect = None
     detect_err = ""
+    ssd16_txt = ""
     try:
-        detect = bench_core_detect(bf16=use_bf16, tick_schedule=use_tick)
+        use_ssd16 = False
+        try:
+            g = detect_ssd_bf16_guard()
+            use_ssd16 = g["ok"]
+            if use_ssd16:
+                ssd16_txt = (" + bf16 SSD trunk (guarded: boxes/flags/"
+                             "verdicts identical to f32, prob drift "
+                             f"{g['max_prob_diff']:.1e})")
+        except Exception:   # pragma: no cover
+            pass
+        detect = bench_core_detect(bf16=use_bf16, tick_schedule=use_tick,
+                                   ssd_bf16=use_ssd16)
+        if use_ssd16:
+            d_f32ssd = bench_core_detect(bf16=use_bf16,
+                                         tick_schedule=use_tick)
+            if d_f32ssd["fps"] >= detect["fps"]:
+                detect = d_f32ssd
+                ssd16_txt = ""
         if use_bf16 or use_tick:
             # same regression fallback as the classify core
             d32 = bench_core_detect()
             if d32["fps"] > detect["fps"]:
                 detect = d32
+                ssd16_txt = ""
                 mode_txt = "fp32 parity mode (guarded fast modes regressed)"
     except Exception as e:   # pragma: no cover - never lose the bench line
         detect_err = f"{type(e).__name__}: {e}"[:200]
@@ -537,7 +603,7 @@ def main():
                 f"per tick in ONE XLA program: 640x480 -> SSD-res10-class "
                 f"detection (synthetic weights, representative FLOPs) + six "
                 f"forensic signals + per-stream crop/align/CLAHE + "
-                f"EfficientNet-B0 + tracker verdict; {mode_txt}; "
+                f"EfficientNet-B0 + tracker verdict; {mode_txt}{ssd16_txt}; "
                 f"steady-state tick p50 {detect['tick_ms_p50']:.1f} / p95 "
                 f"{detect['tick_ms_p95']:.1f} ms; synchronous per-request "
                 f"latency (host frames -> transfer -> tick -> readback, "

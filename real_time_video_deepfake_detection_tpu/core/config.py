@@ -77,6 +77,11 @@ class DetectorConfig:
     # bf16 classifier compute (MXU fast path; ~1e-3-level prob deviations —
     # keep False when bit-comparing verdicts against the reference)
     bf16_inference: bool = False
+    # bf16 SSD trunk in device-detect mode (decode/NMS stay f32). Detected
+    # BOXES are integers, so small logit drift usually changes nothing; the
+    # bench enables this only behind a boxes-identical guard. Keep False for
+    # strict reference parity.
+    ssd_bf16: bool = False
     # Fused Pallas resize+normalize preproc (kernels/preproc.py); measured
     # XLA-vs-Pallas timings in docs/DESIGN.md decide the default.
     use_pallas_preproc: bool = False

@@ -278,9 +278,11 @@ class CaffeNet:
         conf_thresh = float(p.get("confidence_threshold", 0.01))
         variance_encoded = bool(p.get("variance_encoded_in_target", False))
 
-        loc_all = blobs[bottoms[0]]                     # (B, N*4)
-        conf_all = blobs[bottoms[1]]                    # (B, N*nc)
-        priors = blobs[bottoms[2]][0]                   # (2, N*4), shared
+        # decode + NMS always run in f32, even when the trunk is bf16
+        # (serving/batcher.make_device_step_detect ssd_bf16 mode)
+        loc_all = blobs[bottoms[0]].astype(jnp.float32)   # (B, N*4)
+        conf_all = blobs[bottoms[1]].astype(jnp.float32)  # (B, N*nc)
+        priors = blobs[bottoms[2]][0].astype(jnp.float32)  # (2, N*4), shared
         pb = priors[0].reshape(-1, 4)
         pv = priors[1].reshape(-1, 4)
         pw = pb[:, 2] - pb[:, 0]

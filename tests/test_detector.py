@@ -32,6 +32,26 @@ def test_clahe_jnp_matches_numpy():
     np.testing.assert_array_equal(np.asarray(clahe_u8_jnp(src)), clahe_u8_numpy(src))
 
 
+def test_clahe_batch_matches_oracle():
+    """The batched serving CLAHE (ops/clahe.clahe_u8_batch — the one-hot
+    matmul formulation the device tick uses): LUT stage bit-exact, final
+    f32 lerp within +-1 LSB on <1% of pixels (fma contraction; documented
+    in DESIGN.md Known numeric deviations)."""
+    import jax
+    import jax.numpy as jnp
+    from real_time_video_deepfake_detection_tpu.ops.clahe import clahe_u8_batch
+
+    imgs = rng.integers(0, 256, (4, 160, 160), dtype=np.uint8)
+    imgs[1] = 128   # uniform: must be exactly preserved
+    out = np.asarray(jax.jit(clahe_u8_batch)(jnp.asarray(imgs)))
+    for i in range(len(imgs)):
+        want = clahe_u8_numpy(imgs[i])
+        d = np.abs(out[i].astype(int) - want.astype(int))
+        assert d.max() <= 1, (i, d.max())
+        assert (d > 0).mean() < 0.01, (i, (d > 0).mean())
+    np.testing.assert_array_equal(out[1], clahe_u8_numpy(imgs[1]))
+
+
 def test_clahe_nondivisible_close():
     # Known deviation (see ops/clahe.py docstring): non-divisible sizes may
     # differ by a few LSB on a subset of pixels vs cv2 5.0.
