@@ -290,8 +290,13 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
     @jax.jit
     def step(params, frames_capture_u8, active, slot_idx, states):
         hc, wc = frames_capture_u8.shape[1], frames_capture_u8.shape[2]
+        # (a fused 300+256 horizontal matmul was tried and measured level
+        # with the two separate resizes — XLA already shares the f32
+        # conversion; keeping the simpler form)
         resized300 = jax.vmap(
             lambda f: resize_bilinear_u8_cv2(f, 300, 300))(frames_capture_u8)
+        frames_256 = jax.vmap(
+            lambda f: resize_bilinear_u8_cv2(f, h256, w256))(frames_capture_u8)
         blob = resized300.astype(jnp.float32) - jnp.asarray(
             [104.0, 177.0, 123.0], jnp.float32)
         if cfg.ssd_bf16:
@@ -303,9 +308,6 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
                                      cfg.min_face_px)
         box = d["box_xywh"]
         has_face = d["has_face"] & active
-
-        frames_256 = jax.vmap(
-            lambda f: resize_bilinear_u8_cv2(f, h256, w256))(frames_capture_u8)
         # BGR frame -> RGB aligned crop (the host aligner's channel order,
         # pipeline/detector._ResizeAligner)
         faces_raw = jax.vmap(

@@ -6,6 +6,7 @@ on real TPU (marked `tpu`). Resource-bound tests (param count, state size)
 assert everywhere.
 """
 
+import os
 import time
 
 import numpy as np
@@ -120,4 +121,9 @@ def test_batched_tick_meets_latency_target(params):
         jax.block_until_ready(out["verdict"])
         lat.append(time.perf_counter() - t0)
     p95 = float(np.percentile(lat, 95) * 1000)
-    assert p95 < 60, f"p95 {p95:.1f} ms"  # 20 ms target; 60 allows tunnel RTT
+    # North-star bound: <20 ms per tick (BASELINE.md). On a co-located chip
+    # this asserts the real target; TPU_BEHIND_TUNNEL=1 relaxes it for dev
+    # environments where each dispatch/readback pays ~30 ms of proxy RTT
+    # (round-2 verdict #2: the target must be machine-asserted by default).
+    budget = 60.0 if os.environ.get("TPU_BEHIND_TUNNEL") == "1" else 20.0
+    assert p95 < budget, f"p95 {p95:.1f} ms (budget {budget:.0f} ms)"
