@@ -287,8 +287,7 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
             for k, bl in net.weights.items()}
         net._forward_jit = jax.jit(net._forward)
 
-    @jax.jit
-    def step(params, frames_capture_u8, active, slot_idx, states):
+    def detect_prep(frames_capture_u8, active):
         hc, wc = frames_capture_u8.shape[1], frames_capture_u8.shape[2]
         # (a fused 300+256 horizontal matmul was tried and measured level
         # with the two separate resizes — XLA already shares the f32
@@ -314,7 +313,12 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
             lambda f, b: crop_resize_u8_cv2(f[:, :, ::-1], b, m, m)
         )(frames_capture_u8, box)
         face_hw = jnp.stack([box[:, 3], box[:, 2]], axis=1)  # (fh, fw)
+        return frames_256, faces_raw, has_face, face_hw, box, d["n_faces"]
 
+    @jax.jit
+    def step(params, frames_capture_u8, active, slot_idx, states):
+        (frames_256, faces_raw, has_face, face_hw, box,
+         n_faces) = detect_prep(frames_capture_u8, active)
         sub = jax.tree.map(lambda s: s[slot_idx], states)
         out, new_sub = _step_core(spec, cfg, params, frames_256, faces_raw,
                                   has_face, face_hw, active, sub)
@@ -322,10 +326,42 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
             lambda full, ns: full.at[slot_idx].set(ns), states, new_sub)
         out["face_bbox"] = box
         out["has_face"] = has_face
-        out["faces_detected"] = d["n_faces"]
+        out["faces_detected"] = n_faces
         return out, new_full
 
+    step._detect_prep = detect_prep   # reused by the sharded variant
     return step
+
+
+def make_sharded_device_step_detect(mesh, net, spec, cfg: DetectorConfig):
+    """Multi-chip device-detect tick over a ("data",) mesh: the STREAM axis
+    of frames/state is partitioned across chips — each chip runs SSD
+    detection, forensics, crop/align(/CLAHE) and classification for its
+    shard of streams. SSD and classifier weights replicate; like
+    make_sharded_device_step there is no cross-stream dataflow, so XLA
+    emits zero steady-state collectives and aggregate capture->verdict
+    throughput scales linearly with chips. Uses the dense (non-compact)
+    layout: states row i belongs to entry i; n_streams must divide by the
+    mesh size. Exercised on the virtual CPU mesh by the driver dryrun."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    detect_prep = make_device_step_detect(net, spec, cfg)._detect_prep
+
+    def body(params, frames_capture_u8, active, states):
+        (frames_256, faces_raw, has_face, face_hw, box,
+         n_faces) = detect_prep(frames_capture_u8, active)
+        out, new_states = _step_core(spec, cfg, params, frames_256,
+                                     faces_raw, has_face, face_hw, active,
+                                     states)
+        out["face_bbox"] = box
+        out["has_face"] = has_face
+        out["faces_detected"] = n_faces
+        return out, new_states
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(body, in_shardings=(repl, data, data, data),
+                   out_shardings=(data, data))
 
 
 @partial(jax.jit, static_argnums=(1, 2))
