@@ -45,6 +45,14 @@ def _linear_tables(src: int, dst: int):
     return sx, sx1, a0, a1
 
 
+
+def _mm_dtype():
+    """Matmul input dtype for the one-hot passes: bf16 on TPU (single MXU
+    pass; exact for one-hot x u8 with f32 accumulation), f32 elsewhere
+    (CPU XLA has no bf16 x bf16 -> f32 dot; f32 is exact there anyway)."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def resize_bilinear_u8_cv2(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     """cv2.resize(img, (dst_w, dst_h), interpolation=INTER_LINEAR), uint8 HWC
     (or HW), bit-exact."""
@@ -64,16 +72,26 @@ def resize_bilinear_u8_cv2(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     else:
         sx, sx1, ax0, ax1 = _linear_tables(src_w, dst_w)
         sy, sy1, ay0, ay1 = _linear_tables(src_h, dst_h)
-        # Horizontal pass as a sparse one-hot matmul on the MXU (int32
-        # column gathers along the minor axis are 3-4x slower on TPU):
-        # rows scaled by 2^11 — a0*p + a1*q with products <= 2048*255 and
-        # 2-term sums < 2^24, EXACT in f32 at HIGHEST precision.
-        Wh = np.zeros((src_w, dst_w), np.float32)
-        np.add.at(Wh, (sx, np.arange(dst_w)), ax0.astype(np.float32))
-        np.add.at(Wh, (sx1, np.arange(dst_w)), ax1.astype(np.float32))
-        h = jnp.einsum("hwc,wx->hxc", img.astype(jnp.float32),
-                       jnp.asarray(Wh),
-                       precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        # Horizontal pass on the MXU via two ONE-HOT bf16 matmuls with f32
+        # accumulation (single-pass; int32 minor-axis column gathers are
+        # 3-4x slower on TPU, and a weighted-coefficient matmul would need
+        # 6-pass HIGHEST f32). One-hot entries and u8 pixels are exact in
+        # bf16, each output row sums one term, so P and Q are exact; the
+        # 2^11-scaled row a0*P + a1*Q then forms in exact int32. (a0 and a1
+        # are rounded independently by OpenCV and do not always sum to
+        # 2048, so both must be applied.)
+        Wp = np.zeros((src_w, dst_w), np.float32)
+        Wq = np.zeros((src_w, dst_w), np.float32)
+        Wp[sx, np.arange(dst_w)] = 1.0
+        Wq[sx1, np.arange(dst_w)] = 1.0
+        mmt = _mm_dtype()
+        imgb = img.astype(mmt)
+        P = jnp.einsum("hwc,wx->hxc", imgb, jnp.asarray(Wp).astype(mmt),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        Q = jnp.einsum("hwc,wx->hxc", imgb, jnp.asarray(Wq).astype(mmt),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        h = (jnp.asarray(ax0)[None, :, None] * P
+             + jnp.asarray(ax1)[None, :, None] * Q)
         # Vertical pass with OpenCV's exact fixed-point cast (static row
         # gathers along the major axis are cheap):
         # uchar(((b0*(S0>>4))>>16) + ((b1*(S1>>4))>>16) + 2) >> 2
@@ -142,16 +160,24 @@ def crop_resize_u8_cv2(img: jax.Array, box_xywh: jax.Array,
     gy, gy1 = jnp.clip(y0 + sy, 0, H - 1), jnp.clip(y0 + sy1, 0, H - 1)
 
     # row gathers on u8 (major axis, contiguous)
-    r0 = img[gy].astype(jnp.float32)      # (dst_h, W, C)
-    r1 = img[gy1].astype(jnp.float32)
-    # horizontal pass as a one-hot weighted matmul: Wh[o, src] carries a0 at
-    # sx[o] and a1 at sx1[o] (summed when they coincide at the clamp edge)
-    Wh = (ax0.astype(jnp.float32)[:, None] * (cols[None, :] == gx[:, None])
-          + ax1.astype(jnp.float32)[:, None] * (cols[None, :] == gx1[:, None]))
-    h0 = jnp.einsum("hwc,xw->hxc", r0, Wh,
-                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-    h1 = jnp.einsum("hwc,xw->hxc", r1, Wh,
-                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    mmt = _mm_dtype()
+    r0 = img[gy].astype(mmt)      # (dst_h, W, C) — u8 exact in bf16
+    r1 = img[gy1].astype(mmt)
+    # Horizontal pass via one-hot bf16 matmuls with f32 accumulation
+    # (single MXU pass, exact: one-hot entries x u8 pixels, one term per
+    # output), then the 2^11-scaled row a0*P + a1*Q in exact int32
+    Wp = (cols[None, :] == gx[:, None]).astype(mmt)
+    Wq = (cols[None, :] == gx1[:, None]).astype(mmt)
+
+    def hpass(r):
+        P = jnp.einsum("hwc,xw->hxc", r, Wp,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        Q = jnp.einsum("hwc,xw->hxc", r, Wq,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        return ax0[None, :, None] * P + ax1[None, :, None] * Q
+
+    h0 = hpass(r0)
+    h1 = hpass(r1)
     # vertical combine, OpenCV's exact fixed-point cast (no gather needed:
     # h0/h1 are already the sy/sy1 rows of the horizontally-passed image)
     lin = ((((ay0[:, None, None] * (h0 >> 4)) >> 16)
@@ -167,11 +193,15 @@ def crop_resize_u8_cv2(img: jax.Array, box_xywh: jax.Array,
     g2y1 = jnp.clip(y0 + ys2 + 1, 0, H - 1)
     g2x = jnp.clip(x0 + xs2, 0, W - 1)
     g2x1 = jnp.clip(x0 + xs2 + 1, 0, W - 1)
-    a0 = img[g2y].astype(jnp.float32) + img[g2y1].astype(jnp.float32)
-    W2 = ((cols[None, :] == g2x[:, None]).astype(jnp.float32)
-          + (cols[None, :] == g2x1[:, None]).astype(jnp.float32))
-    blk = jnp.einsum("hwc,xw->hxc", a0, W2,
-                     precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    # (r0/r1 matmul'd separately: u8 values are bf16-exact, their sums may
+    # not be; W2 entries are 1, or 2 where the clamped columns coincide —
+    # both exact, products <= 510 even, f32 accumulation exact)
+    W2 = ((cols[None, :] == g2x[:, None]).astype(mmt)
+          + (cols[None, :] == g2x1[:, None]).astype(mmt))
+    blk = (jnp.einsum("hwc,xw->hxc", img[g2y].astype(mmt), W2,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("hwc,xw->hxc", img[g2y1].astype(mmt), W2,
+                        preferred_element_type=jnp.float32)).astype(jnp.int32)
     area = (blk + 2) >> 2
 
     is_2x = (h == 2 * dst_h) & (w == 2 * dst_w)
