@@ -271,7 +271,7 @@ def detect_ssd_bf16_guard(n_streams=64, n_ticks=3):
 
 
 def bench_core_detect(n_streams=64, window=8, n_windows=10, warm_windows=2,
-                      bf16=False, tick_schedule=False, latency_iters=30,
+                      bf16=False, tick_schedule=False, latency_iters=12,
                       clahe=True, ssd_bf16=False):
     """Capture->verdict serving core: SSD-Res10-class detection (300 resize +
     trunk + DetectionOutput + NMS + reference box selection), 256 resize +
@@ -395,7 +395,7 @@ def bench_prep_scaling(n=64, threads=(1, 2, 4), repeats=3):
     return out
 
 
-def bench_e2e(n_streams=64, frames_per_stream=12, device_detect=True):
+def bench_e2e(n_streams=64, frames_per_stream=5, device_detect=True):
     """Drive the real engine.analyze path (host prep included).
 
     device_detect=True (default): the engine runs SSD detection +
