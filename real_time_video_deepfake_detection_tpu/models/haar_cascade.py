@@ -233,11 +233,13 @@ class HaarCascade:
 
         # Variance normalization over the 1px-inset normrect
         # (HaarEvaluator::setWindow): a window is evaluated only when
-        # nf2 = area*sqsum - sum^2 > 0 AND area/sqrt(nf2) < 0.1, i.e. the
-        # window's pixel std exceeds ~10 (the modern-OpenCV low-variance
-        # gate).  A setWindow rejection makes runAt return -1 — it does NOT
-        # trigger the invoker's extra x skip; only a STAGE-0 rejection
-        # (runAt result == 0) does (`if result == 0: x += yStep`).
+        # nf2 = area*sqsum - sum^2 > 0 AND area/sqrt(nf2) < 0.1 — OpenCV's
+        # literal `return area*varianceNormFactor < 1e-1` with
+        # varianceNormFactor = 1/nf and nf = sqrt(nf2) = area*std, i.e. the
+        # window's pixel std must exceed ~10 (the modern-OpenCV
+        # low-variance gate).  A setWindow rejection makes runAt return -1
+        # — it does NOT trigger the invoker's extra x skip; only a STAGE-0
+        # rejection (runAt result == 0) does (`if result == 0: x += yStep`).
         nr_w, nr_h = ww - 2, wh - 2
         area = float(nr_w * nr_h)
         y1, x1 = wy + 1, wx + 1

@@ -542,7 +542,10 @@ class MultiStreamEngine:
             batch = [p for p in batch if p.frame_capture is not None]
             if not batch:
                 return
-        self._ewma("ewma_host_prep_ms", (time.time() - t_prep) * 1000)
+            # only ticks that actually decoded JPEGs contribute — frame
+            # requests prep in their own threads and would drag the EWMA
+            # to zero
+            self._ewma("ewma_host_prep_ms", (time.time() - t_prep) * 1000)
 
         b = self._bucket_for(len(batch))
         frames = np.zeros((b, ch, cw, 3), np.uint8)

@@ -272,6 +272,12 @@ def main(argv=None):
                       face_backend=args.face_backend,
                       clip_window=args.clip_window,
                       clip_feature_dim=backbones.feature_dim(spec))
+    if args.device_detect:
+        # the reference applies CLAHE to every face crop
+        # (deepfake_detection.py:357-370); in device-detect mode the crop
+        # never touches the host, so CLAHE must run in the tick — without
+        # this the fused path would silently classify un-CLAHE'd crops
+        cfg = _dc.replace(cfg, clahe_device=True)
     aligner = None
     if args.mtcnn_weights:
         from ..models.mtcnn import MTCNNAligner

@@ -115,6 +115,7 @@ def test_backbone_registry_and_feature_dims():
         backbones.make("resnet50")
 
 
+@pytest.mark.slow
 def test_vit_transformers_numeric_parity():
     """Donor oracle (round-2 verdict #9/#4): a randomly initialized
     transformers ViTModel, converted via utils/vit_convert, must produce the
@@ -283,6 +284,10 @@ def test_trainer_cli_vit_backbone(tmp_path):
     assert (out / "best_model.npz").exists()
     assert (out / "resume_checkpoint.npz").exists()
     assert (out / "training_log.json").exists()
+
+
+@pytest.mark.slow
+def test_xception_backbone():
     """Xception (BASELINE config 5's 'ViT/Xception' alternative; the
     FaceForensics++ deepfake baseline): trainable backbone parameter count
     matches the published keras include_top=False model exactly
