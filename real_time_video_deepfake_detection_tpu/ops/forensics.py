@@ -10,6 +10,7 @@ ops/color, ops/filters, ops/jpeg golden tests).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -278,3 +279,66 @@ def analyze_frame_batch(frames, states, fulls, cfg: ForensicConfig = ForensicCon
             frames, states, fulls, colors)
     return jax.vmap(lambda f, s, fl: analyze_frame(
         f, s, fl, cfg, fast_only=fast_only))(frames, states, fulls)
+
+
+class FrameForensicAnalyzer:
+    """Reference-API drop-in (frame_analysis.py:22-126, 391-395): the same
+    constructor, `analyze` / `analyze_fast` / `reset` methods, `weights`
+    attribute and return schema ({scores, fake_probability, analysis_type,
+    frame_number}) — backed by the jitted signal kernels and the functional
+    ForensicState instead of cv2 + mutable deques. A reference user's
+
+        analyzer = FrameForensicAnalyzer()
+        r = analyzer.analyze(frame_bgr)
+
+    works unchanged (parity <= 1e-6, tests/test_forensics.py). This is the
+    single-stream host convenience wrapper; batched serving goes through
+    analyze_frame_batch."""
+
+    def __init__(self, analysis_size=(256, 256)):
+        from ..core.config import ForensicConfig
+        from ..state.forensic_state import forensic_state_init
+        self.analysis_size = tuple(analysis_size)
+        self.cfg = ForensicConfig(analysis_size=self.analysis_size)
+        self._state_init = lambda: forensic_state_init(self.cfg)
+        self.state = self._state_init()
+        # reference attribute (frame_analysis.py:49-56)
+        self.weights = {
+            "frequency": self.cfg.w_frequency, "noise": self.cfg.w_noise,
+            "ela": self.cfg.w_ela, "edge": self.cfg.w_edge,
+            "color": self.cfg.w_color, "temporal": self.cfg.w_temporal,
+        }
+        self._step = jax.jit(partial(analyze_frame, cfg=self.cfg))
+
+    @property
+    def frame_count(self) -> int:
+        return int(jnp.asarray(self.state.frame_count))
+
+    def _run(self, frame_bgr, full: bool) -> dict:
+        from ..utils.host_resize import resize_analysis
+        import numpy as np
+        h, w = self.analysis_size
+        resized = resize_analysis(np.ascontiguousarray(frame_bgr), h, w)
+        res, self.state = self._step(jnp.asarray(resized), self.state,
+                                     jnp.asarray(full))
+        keys = (("frequency", "noise", "ela", "edge", "color", "temporal")
+                if full else ("frequency", "temporal", "edge"))
+        return {
+            "scores": {k: float(res[k]) for k in keys},
+            "fake_probability": float(res["fake_probability"]),
+            "analysis_type": ("frame_forensic" if full
+                              else "frame_forensic_fast"),
+            "frame_number": int(res["frame_number"]),
+        }
+
+    def analyze(self, frame) -> dict:
+        """All six signals, full weighting (frame_analysis.py:58-101)."""
+        return self._run(frame, True)
+
+    def analyze_fast(self, frame) -> dict:
+        """Fast trio, fast weighting (frame_analysis.py:103-126)."""
+        return self._run(frame, False)
+
+    def reset(self) -> None:
+        """(frame_analysis.py:391-395)."""
+        self.state = self._state_init()

@@ -168,6 +168,23 @@ class FaceDetector:
         return []
 
 
+_default_detector: Optional["FaceDetector"] = None
+
+
+def detect_bounding_box(frame: np.ndarray,
+                        confidence_threshold: float = 0.5) -> List[Box]:
+    """Reference module-level API (face_detection.py:37-68): detect faces
+    with a shared default detector; list of (x, y, w, h). Lazily constructs
+    one FaceDetector (the reference builds its net at import time — an
+    anti-pattern this package avoids)."""
+    global _default_detector
+    if (_default_detector is None
+            or _default_detector.confidence_threshold != confidence_threshold):
+        _default_detector = FaceDetector(
+            confidence_threshold=confidence_threshold)
+    return _default_detector(frame)
+
+
 def extract_face_region(frame: np.ndarray, box: Box, padding: int = 0) -> np.ndarray:
     """(face_detection.py:145-168)."""
     x, y, w, h = box

@@ -167,6 +167,52 @@ def test_sequence_parity_vs_reference():
         assert abs(float(r_jax["fake_probability"]) - r_ref["fake_probability"]) < 1e-6, t
 
 
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_analyzer_class_drop_in_parity():
+    """The reference-API FrameForensicAnalyzer wrapper (ops/forensics.py):
+    same ctor/methods/schema, <=1e-6 parity against the reference class over
+    a stateful full/fast sequence, reset() clears temporal state."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from frame_analysis import FrameForensicAnalyzer as RefAnalyzer
+
+    from real_time_video_deepfake_detection_tpu.ops.forensics import (
+        FrameForensicAnalyzer,
+    )
+
+    ref = RefAnalyzer()
+    ours = FrameForensicAnalyzer()
+    assert ours.weights == ref.weights
+
+    base = cv2.GaussianBlur(_rand_img(480, 640), (7, 7), 2)
+    frames = []
+    for t in range(7):
+        f = base.copy()
+        cv2.circle(f, (100 + 20 * t, 200), 60, (180, 90, 60), -1)
+        frames.append(f)
+
+    for t, f in enumerate(frames):
+        full = t % 3 == 0
+        r_ref = ref.analyze(f) if full else ref.analyze_fast(f)
+        r_our = ours.analyze(f) if full else ours.analyze_fast(f)
+        assert r_our["analysis_type"] == r_ref["analysis_type"]
+        assert r_our["frame_number"] == r_ref["frame_number"] == t + 1
+        assert set(r_our["scores"]) == set(r_ref["scores"])
+        for k in r_ref["scores"]:
+            assert abs(r_our["scores"][k] - r_ref["scores"][k]) < 1e-6, (t, k)
+        assert abs(r_our["fake_probability"]
+                   - r_ref["fake_probability"]) < 1e-6, t
+
+    ours.reset()
+    ref.reset()
+    assert ours.frame_count == 0
+    r2 = ours.analyze(frames[0])
+    assert r2["frame_number"] == 1
+    # temporal state cleared: first frame after reset has no prev frame
+    assert r2["scores"]["temporal"] == pytest.approx(
+        ref.analyze(frames[0])["scores"]["temporal"], abs=1e-6)
+
+
 @pytest.mark.slow
 def test_batched_matches_single():
     from real_time_video_deepfake_detection_tpu.state.forensic_state import (
