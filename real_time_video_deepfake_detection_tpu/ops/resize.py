@@ -105,26 +105,41 @@ def resize_bilinear_u8_cv2(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     return out[..., 0] if squeeze else out
 
 
+@functools.lru_cache(maxsize=None)
+def _dyn_coef_tables(dst: int):
+    """Host-precomputed coefficient lookup for the dynamic tables: for each
+    possible remainder r of the exact fraction r/(2*dst), the f32 fraction
+    and the rounded fixed-point coefficients, computed with numpy's IEEE
+    arithmetic. Device-side f32 division is NOT IEEE-correctly-rounded on
+    TPU (reciprocal-based), which flipped cvRound ties by 1 LSB — a table
+    gather by the integer remainder sidesteps device division entirely."""
+    den = 2 * dst
+    f = (np.arange(den, dtype=np.float64) / den).astype(np.float32)
+    a1 = np.rint(f * _COEF_SCALE).astype(np.int32)
+    a0 = np.rint((1.0 - f) * _COEF_SCALE).astype(np.int32)
+    return a0, a1
+
+
 def _dyn_linear_tables(src_size: jax.Array, dst: int):
     """OpenCV INTER_LINEAR sample indices/coefficients for a TRACED source
     extent (used by crop_resize_u8_cv2 for device-side face crops whose box
     size is data-dependent). Arithmetic is integer-exact where the host
     tables are: sx = floor(((2x+1)*src - dst) / (2*dst)) via floor division,
-    the fraction as an exact small rational cast to f32, coefficients
-    rint(f * 2048) like saturate_cast<short>(cvRound(...))."""
+    coefficients via the host-precomputed remainder lookup above."""
     xs = jnp.arange(dst, dtype=jnp.int32)
     src = src_size.astype(jnp.int32)
     num = (2 * xs + 1) * src - dst          # 2*dst * fx, exactly
     den = 2 * dst
     sx = num // den                          # floor division (matches f64 floor)
     rem = num - sx * den
-    f = rem.astype(jnp.float32) / jnp.float32(den)
-    f = jnp.where(sx < 0, 0.0, f)
+    # edge clamps zero the fraction BEFORE the coefficient lookup
+    rem = jnp.where(sx < 0, 0, rem)
     sx = jnp.maximum(sx, 0)
-    f = jnp.where(sx >= src - 1, 0.0, f)
+    rem = jnp.where(sx >= src - 1, 0, rem)
     sx = jnp.minimum(sx, src - 1)
-    a1 = jnp.rint(f * _COEF_SCALE).astype(jnp.int32)
-    a0 = jnp.rint((1.0 - f) * _COEF_SCALE).astype(jnp.int32)
+    a0_tab, a1_tab = _dyn_coef_tables(dst)
+    a0 = jnp.asarray(a0_tab)[rem]
+    a1 = jnp.asarray(a1_tab)[rem]
     sx1 = jnp.minimum(sx + 1, src - 1)
     return sx, sx1, a0, a1
 

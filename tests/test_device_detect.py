@@ -58,6 +58,42 @@ def test_crop_resize_2x_area_fast_path():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_TPU_TESTS") != "1",
+    reason="TPU-only: validates the bf16 one-hot matmul path, which only "
+           "activates on the TPU backend")
+def test_crop_resize_tpu_matches_integer_pipeline():
+    """On TPU the resize/crop matmuls run in bf16 (CPU tests exercise the
+    f32 variant), so exactness there must be asserted on the chip: the
+    dynamic crop must equal the static-table path bit-for-bit, and the
+    static 256 downscale must equal cv2."""
+    cv2 = pytest.importorskip("cv2")
+
+    img = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    jimg = jnp.asarray(img)
+    # static downscale vs cv2 (bit-exact class)
+    got = np.asarray(jax.device_get(jax.jit(
+        lambda x: resize_bilinear_u8_cv2(x, 256, 256))(jimg)))
+    want = cv2.resize(img, (256, 256), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_array_equal(got, want)
+
+    # dynamic crop vs the static-table oracle (upscale boxes carry the
+    # documented +-1 LSB deviation vs cv2 itself, so the contract is
+    # equality with resize_bilinear_u8_cv2, which IS the serving aligner)
+    f = jax.jit(lambda im, b: crop_resize_u8_cv2(im, b, 160, 160))
+    for trial in range(25):
+        w = int(rng.integers(20, 600))
+        h = int(rng.integers(20, 440))
+        x = int(rng.integers(0, 640 - w))
+        y = int(rng.integers(0, 480 - h))
+        want = np.asarray(resize_bilinear_u8_cv2(
+            jnp.asarray(img[y:y + h, x:x + w]), 160, 160))
+        got = np.asarray(jax.device_get(
+            f(jimg, jnp.asarray([x, y, w, h], np.int32))))
+        np.testing.assert_array_equal(got, want, err_msg=str((x, y, w, h)))
+
+
 @pytest.fixture(scope="module")
 def synth_ssd(tmp_path_factory):
     from real_time_video_deepfake_detection_tpu.models.ssd_res10 import SSDRes10
