@@ -369,6 +369,126 @@ def _extract_face_pil(img: jax.Array, box: jax.Array, out: int) -> jax.Array:
     return jnp.einsum("pw,owc->opc", Wu, face)
 
 
+def pyramid_scales(h: int, w: int, minsize: int = 20,
+                   factor: float = 0.709) -> List[float]:
+    """facenet detect_face's image-pyramid scales for a static (h, w)."""
+    m = 12.0 / minsize
+    minl = min(h, w) * m
+    scales = []
+    s = m
+    while minl >= 12:
+        scales.append(s)
+        s *= factor
+        minl *= factor
+    return scales
+
+
+def mtcnn_detect_static(params: Dict, img_rgb: jax.Array, *,
+                        image_size: int = 160, minsize: int = 20,
+                        thresholds=(0.6, 0.7, 0.7), factor: float = 0.709,
+                        max_p: int = 256, max_r: int = 64, max_o: int = 16):
+    """The full P/R/O cascade for ONE image of STATIC size — traceable (and
+    vmappable: the device-detect tick batches it over streams,
+    serving/batcher.make_device_step_detect mtcnn_device mode). Mirrors
+    facenet-pytorch detect_face stage by stage (see module docstring for the
+    resampling/regression conventions).
+
+    img_rgb: (H, W, 3) float RGB 0-255. Returns (face (image_size²x3 f32
+    raw-range RGB), score, box); score <= 0 means no face passed the cascade
+    (the caller treats that as facenet's `mtcnn(img) is None`)."""
+    h, w = img_rgb.shape[0], img_rgb.shape[1]
+    scales = pyramid_scales(h, w, minsize, factor)
+    t1, t2, t3 = thresholds
+    img = img_rgb.astype(jnp.float32)
+
+    # ---- P-Net over the area-interpolated pyramid
+    all_boxes, all_scores, all_regs = [], [], []
+    for scale in scales:
+        sh, sw = int(h * scale + 1), int(w * scale + 1)
+        scaled = _normalize(_area_resize_static(img, sh, sw))
+        probs, reg = pnet_forward(params["pnet"], scaled[None])
+        p = probs[0, :, :, 1]
+        gh, gw = p.shape
+        k = min(max_p, gh * gw)
+        vals, idx = jax.lax.top_k(p.reshape(-1), k)
+        iy = idx // gw
+        ix = idx % gw
+        # generateBoundingBox: stride 2, cell 12, raw (unregressed)
+        q1x = jnp.floor((2.0 * ix + 1.0) / scale)
+        q1y = jnp.floor((2.0 * iy + 1.0) / scale)
+        q2x = jnp.floor((2.0 * ix + 12.0) / scale)
+        q2y = jnp.floor((2.0 * iy + 12.0) / scale)
+        boxes = jnp.stack([q1x, q1y, q2x, q2y], axis=1)
+        rr = reg[0].reshape(-1, 4)[idx]
+        valid = vals >= t1
+        keep = _nms_mask(boxes, vals, valid, 0.5)   # per-scale NMS
+        pad = max_p - k
+        all_boxes.append(jnp.pad(boxes, ((0, pad), (0, 0))))
+        all_scores.append(jnp.pad(jnp.where(keep, vals, 0.0), (0, pad)))
+        all_regs.append(jnp.pad(rr, ((0, pad), (0, 0))))
+
+    boxes = jnp.concatenate(all_boxes)
+    scores = jnp.concatenate(all_scores)
+    regs = jnp.concatenate(all_regs)
+    vals, idx = jax.lax.top_k(scores, max_p)
+    boxes, regs = boxes[idx], regs[idx]
+    keep = _nms_mask(boxes, vals, vals > 0, 0.7)    # cross-scale NMS
+    scores = jnp.where(keep, vals, 0.0)
+    # stage-1 regression AFTER the NMS, inline convention (no +1)
+    regw = boxes[:, 2] - boxes[:, 0]
+    regh = boxes[:, 3] - boxes[:, 1]
+    boxes = jnp.stack([boxes[:, 0] + regs[:, 0] * regw,
+                       boxes[:, 1] + regs[:, 1] * regh,
+                       boxes[:, 2] + regs[:, 2] * regw,
+                       boxes[:, 3] + regs[:, 3] * regh], axis=1)
+    boxes = _rerec(boxes)
+
+    # ---- R-Net stage
+    vals, idx = jax.lax.top_k(scores, max_r)
+    rboxes = boxes[idx]
+    patches = jax.vmap(lambda b: _extract_patch_area(img, b, 24))(rboxes)
+    probs, reg = rnet_forward(params["rnet"], _normalize(patches))
+    rscores = jnp.where((probs[:, 1] > t2) & (vals > 0), probs[:, 1], 0.0)
+    keep = _nms_mask(rboxes, rscores, rscores > 0, 0.7)  # raw boxes
+    rscores = jnp.where(keep, rscores, 0.0)
+    rboxes = _bbreg(rboxes, reg)                    # +1 convention
+    rboxes = _rerec(rboxes)
+
+    # ---- O-Net stage (regression BEFORE the 'Min'-IoU NMS)
+    vals, idx = jax.lax.top_k(rscores, max_o)
+    oboxes = rboxes[idx]
+    patches = jax.vmap(lambda b: _extract_patch_area(img, b, 48))(oboxes)
+    probs, reg, _pts = onet_forward(params["onet"], _normalize(patches))
+    oscores = jnp.where((probs[:, 1] > t3) & (vals > 0), probs[:, 1], 0.0)
+    oboxes = _bbreg(oboxes, reg)
+    keep = _nms_mask(oboxes, oscores, oscores > 0, 0.7, method_min=True)
+    oscores = jnp.where(keep, oscores, 0.0)
+
+    # highest-probability face (select_largest=False -> the NMS order is
+    # score-descending, facenet takes boxes[0])
+    best = jnp.argmax(oscores)
+    best_score = oscores[best]
+    best_box = oboxes[best]
+    face = _extract_face_pil(img, best_box, image_size)
+    return face, best_score, best_box
+
+
+def mtcnn_align_batch(params: Dict, crops_rgb: jax.Array, *,
+                      image_size: int = 160, minsize: int = 20,
+                      thresholds=(0.6, 0.7, 0.7), factor: float = 0.709,
+                      max_p: int = 64, max_r: int = 16, max_o: int = 8):
+    """Batched cascade over (B, S, S, 3) fixed-size RGB crops — the
+    device-tick MTCNN aligner (serving/batcher mtcnn_device mode). The crop
+    size is static so the pyramid is static; smaller default box caps than
+    the host aligner because an SSD face crop holds at most one face (caps
+    are a config knob upstream). Returns (faces (B, image_size, image_size,
+    3) f32, scores (B,), boxes (B, 4))."""
+    fn = partial(mtcnn_detect_static, params, image_size=image_size,
+                 minsize=minsize, thresholds=thresholds, factor=factor,
+                 max_p=max_p, max_r=max_r, max_o=max_o)
+    return jax.vmap(fn)(crops_rgb)
+
+
 class MTCNNAligner:
     """Reference-compatible aligner: BGR face crop -> aligned 160x160 RGB
     float (raw 0-255), or None when no face is found inside the crop
@@ -411,100 +531,17 @@ class MTCNNAligner:
         return cls(params)
 
     def _scales(self, h: int, w: int) -> List[float]:
-        m = 12.0 / self.minsize
-        minl = min(h, w) * m
-        scales = []
-        s = m
-        while minl >= 12:
-            scales.append(s)
-            s *= self.factor
-            minl *= self.factor
-        return scales
+        return pyramid_scales(h, w, self.minsize, self.factor)
 
     def _detect_fn(self, h: int, w: int):
-        """Compile the full cascade for an exact (h, w) input. Mirrors
-        facenet-pytorch detect_face stage by stage (see module docstring for
-        the resampling/regression conventions)."""
-        scales = self._scales(h, w)
-        params = self.params
-        t1, t2, t3 = self.thresholds
-        MAX_P, MAX_R, MAX_O = self.MAX_P, self.MAX_R, self.MAX_O
-
-        def run(img_rgb: jax.Array):
-            img = img_rgb.astype(jnp.float32)
-
-            # ---- P-Net over the area-interpolated pyramid
-            all_boxes, all_scores, all_regs = [], [], []
-            for scale in scales:
-                sh, sw = int(h * scale + 1), int(w * scale + 1)
-                scaled = _normalize(_area_resize_static(img, sh, sw))
-                probs, reg = pnet_forward(params["pnet"], scaled[None])
-                p = probs[0, :, :, 1]
-                gh, gw = p.shape
-                k = min(MAX_P, gh * gw)
-                vals, idx = jax.lax.top_k(p.reshape(-1), k)
-                iy = idx // gw
-                ix = idx % gw
-                # generateBoundingBox: stride 2, cell 12, raw (unregressed)
-                q1x = jnp.floor((2.0 * ix + 1.0) / scale)
-                q1y = jnp.floor((2.0 * iy + 1.0) / scale)
-                q2x = jnp.floor((2.0 * ix + 12.0) / scale)
-                q2y = jnp.floor((2.0 * iy + 12.0) / scale)
-                boxes = jnp.stack([q1x, q1y, q2x, q2y], axis=1)
-                rr = reg[0].reshape(-1, 4)[idx]
-                valid = vals >= t1
-                keep = _nms_mask(boxes, vals, valid, 0.5)   # per-scale NMS
-                pad = MAX_P - k
-                all_boxes.append(jnp.pad(boxes, ((0, pad), (0, 0))))
-                all_scores.append(jnp.pad(jnp.where(keep, vals, 0.0), (0, pad)))
-                all_regs.append(jnp.pad(rr, ((0, pad), (0, 0))))
-
-            boxes = jnp.concatenate(all_boxes)
-            scores = jnp.concatenate(all_scores)
-            regs = jnp.concatenate(all_regs)
-            vals, idx = jax.lax.top_k(scores, MAX_P)
-            boxes, regs = boxes[idx], regs[idx]
-            keep = _nms_mask(boxes, vals, vals > 0, 0.7)    # cross-scale NMS
-            scores = jnp.where(keep, vals, 0.0)
-            # stage-1 regression AFTER the NMS, inline convention (no +1)
-            regw = boxes[:, 2] - boxes[:, 0]
-            regh = boxes[:, 3] - boxes[:, 1]
-            boxes = jnp.stack([boxes[:, 0] + regs[:, 0] * regw,
-                               boxes[:, 1] + regs[:, 1] * regh,
-                               boxes[:, 2] + regs[:, 2] * regw,
-                               boxes[:, 3] + regs[:, 3] * regh], axis=1)
-            boxes = _rerec(boxes)
-
-            # ---- R-Net stage
-            vals, idx = jax.lax.top_k(scores, MAX_R)
-            rboxes = boxes[idx]
-            patches = jax.vmap(lambda b: _extract_patch_area(img, b, 24))(rboxes)
-            probs, reg = rnet_forward(params["rnet"], _normalize(patches))
-            rscores = jnp.where((probs[:, 1] > t2) & (vals > 0), probs[:, 1], 0.0)
-            keep = _nms_mask(rboxes, rscores, rscores > 0, 0.7)  # raw boxes
-            rscores = jnp.where(keep, rscores, 0.0)
-            rboxes = _bbreg(rboxes, reg)                    # +1 convention
-            rboxes = _rerec(rboxes)
-
-            # ---- O-Net stage (regression BEFORE the 'Min'-IoU NMS)
-            vals, idx = jax.lax.top_k(rscores, MAX_O)
-            oboxes = rboxes[idx]
-            patches = jax.vmap(lambda b: _extract_patch_area(img, b, 48))(oboxes)
-            probs, reg, _pts = onet_forward(params["onet"], _normalize(patches))
-            oscores = jnp.where((probs[:, 1] > t3) & (vals > 0), probs[:, 1], 0.0)
-            oboxes = _bbreg(oboxes, reg)
-            keep = _nms_mask(oboxes, oscores, oscores > 0, 0.7, method_min=True)
-            oscores = jnp.where(keep, oscores, 0.0)
-
-            # highest-probability face (select_largest=False -> the NMS
-            # order is score-descending, facenet takes boxes[0])
-            best = jnp.argmax(oscores)
-            best_score = oscores[best]
-            best_box = oboxes[best]
-            face = _extract_face_pil(img, best_box, self.image_size)
-            return face, best_score, best_box
-
-        return jax.jit(run)
+        """Compile the full cascade (mtcnn_detect_static) for an exact
+        (h, w) input."""
+        del h, w   # static shapes come from the traced argument
+        return jax.jit(partial(
+            mtcnn_detect_static, self.params, image_size=self.image_size,
+            minsize=self.minsize, thresholds=self.thresholds,
+            factor=self.factor, max_p=self.MAX_P, max_r=self.MAX_R,
+            max_o=self.MAX_O))
 
     def detect(self, face_bgr: np.ndarray):
         """Full detect: (aligned 160x160x3 RGB f32 raw-range, score, box) or
