@@ -208,18 +208,21 @@ def tick_schedule_guard(bf16=False, n_streams=64, n_ticks=6):
 
 def _synth_ssd():
     """res10-class SSD (synthetic weights) for the detect-inclusive phases;
-    cached on disk so repeat runs skip regeneration."""
+    cached on disk so repeat runs skip regeneration. decisive=True: conf
+    softmax saturates like a trained checkpoint's, so the bf16-SSD parity
+    guard measures realistic behavior instead of coin-flip softmax ties
+    (utils/ssd_synth.py docstring); tests keep the tie-stressing default."""
     import os
 
     from real_time_video_deepfake_detection_tpu.models.ssd_res10 import SSDRes10
     from real_time_video_deepfake_detection_tpu.utils.ssd_synth import (
         res10_class_ssd,
     )
-    d = "/tmp/bench_ssd"
+    d = "/tmp/bench_ssd_decisive"
     proto = os.path.join(d, "deploy.prototxt")
     cm = os.path.join(d, "res10_class.caffemodel")
     if not (os.path.exists(proto) and os.path.exists(cm)):
-        proto, cm = res10_class_ssd(d, seed=0)
+        proto, cm = res10_class_ssd(d, seed=0, decisive=True)
     return SSDRes10.from_caffemodel(cm, proto)
 
 
@@ -255,19 +258,25 @@ def detect_ssd_bf16_guard(n_streams=64, n_ticks=3):
     st16 = init_stream_states(n_streams + 1, cfg16)
     ok = True
     max_dp = 0.0
+    n_faces_seen = 0
     for t in range(n_ticks):
         frames = jnp.asarray(rng.integers(0, 256, (n_streams, 480, 640, 3),
                                           dtype=np.uint8))
         o32, st32 = s32(params, frames, active, slot_idx, st32)
         o16, st16 = s16(params, frames, active, slot_idx, st16)
-        ok &= bool(jnp.all(o32["face_bbox"] == o16["face_bbox"]))
         ok &= bool(jnp.all(o32["has_face"] == o16["has_face"]))
+        # box rows are meaningful only where a face was selected — no-face
+        # rows carry whatever the masked DetectionOutput decode produced
+        hf = o32["has_face"][:, None]
+        ok &= bool(jnp.all(jnp.where(
+            hf, o32["face_bbox"] == o16["face_bbox"], True)))
+        n_faces_seen += int(jnp.sum(o32["has_face"]))
         ok &= bool(jnp.all(o32["faces_detected"] == o16["faces_detected"]))
         ok &= bool(jnp.all(o32["verdict"] == o16["verdict"]))
         max_dp = max(max_dp, float(jnp.max(jnp.abs(
             o32["fake_probability"] - o16["fake_probability"]))))
     return {"ok": ok and max_dp < 1e-3, "max_prob_diff": max_dp,
-            "boxes_equal": ok}
+            "boxes_equal": ok, "n_faces_seen": n_faces_seen}
 
 
 def bench_core_detect(n_streams=64, window=8, n_windows=10, warm_windows=2,

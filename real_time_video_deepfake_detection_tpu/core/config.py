@@ -93,6 +93,20 @@ class DetectorConfig:
     # approximation (CLAHE and resize commuted) that removes per-face host
     # work; resize-aligner mode only (serving/multi.py enforces).
     clahe_device: bool = False
+    # MTCNN alignment INSIDE the device-detect tick (batcher
+    # make_device_step_detect): the SSD crop is resized to mtcnn_image_size
+    # (static shape -> static pyramid), CLAHE'd (when clahe_device — the
+    # reference's order, CLAHE before MTCNN, deepfake_detection.py:357-383),
+    # then the full P/R/O cascade + PIL-parity extract runs batched on
+    # device (models/mtcnn.mtcnn_align_batch). Deviation vs the host MTCNN
+    # aligner: the cascade sees the RESIZED crop, not the original
+    # dynamic-size crop (docs/DESIGN.md). Requires an MTCNNAligner (its
+    # converted facenet weights) on the engine.
+    mtcnn_device: bool = False
+    # Padded box capacities for the in-tick cascade (P/R/O stages). The
+    # host aligner uses (256, 64, 16); an SSD face crop holds at most one
+    # face, so smaller caps cut the in-tick NMS cost.
+    mtcnn_tick_caps: Tuple[int, int, int] = (64, 16, 8)
     # Forensic full/fast scheduling:
     #   "frame"     - per-stream, full every full_forensic_interval-th frame
     #                 by that stream's count (reference semantics,

@@ -23,6 +23,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Batched-lookup dataflow for clahe_u8_batch: True = hi/lo-nibble one-hots
+# (two rank-16 contractions), False = single rank-256 one-hot. Bit-identical
+# outputs either way; a module flag (not config) because it is a pure
+# scheduling choice — tools/tick_ab.py A/Bs it inside the fused serving
+# tick, where MXU/VPU port balance decides, not isolated stage time.
+NIBBLE_LOOKUP = True
+
 
 def _lut_for_tile(hist: np.ndarray, clip_limit: int, tile_area: int) -> np.ndarray:
     """Classic CLAHE LUT: clip, redistribute excess as uniform integer batch
@@ -117,11 +124,14 @@ def clahe_u8_batch(imgs: jax.Array, clip_limit: float = 2.0,
 
     TPU-first formulation — measured on v5e against the alternatives (the
     vmapped Pallas kernel ran 27 ms/64-batch; per-pixel table gathers 115 ms;
-    scatter histograms 18 ms):
-      * histograms: one-hot compare + int32 reduction (no scatter)
-      * per-quadrant corner-LUT selection and the 256-entry lookups: one-hot
-        matmuls (EXACT in bf16 — LUT entries are 8-bit integers and every
-        output row has a single nonzero term)
+    scatter histograms 18 ms; a single rank-256 one-hot lookup 4.0 ms):
+      * pixel values split into hi/lo nibbles; TWO rank-16 one-hot tensors
+        replace the rank-256 one (5x less materialized one-hot traffic)
+      * histograms: the nibble one-hots outer-product over pixels (an MXU
+        matmul per tile quadrant) -> exact integer counts
+      * per-quadrant corner-LUT selection and the table lookups: one-hot
+        matmul then two rank-16 contractions (EXACT in bf16 — LUT entries
+        are 8-bit integers and every contraction has a single nonzero term)
       * bilinear combine: per-quadrant static weight planes (same geometry
         as kernels/clahe.py, which stays as the single-image Pallas variant)
 
@@ -144,10 +154,20 @@ def clahe_u8_batch(imgs: jax.Array, clip_limit: float = 2.0,
     q = imgs.reshape(B, tiles, 2, hh, tiles, 2, hw)
     q = q.transpose(0, 1, 4, 2, 5, 3, 6).reshape(B, T2, 4, px)
 
-    bins = jnp.arange(256, dtype=jnp.uint8)
-    onehot = (q[..., None] == bins)                      # bool (B,T2,4,px,256)
-
-    hist = jnp.sum(onehot, axis=(2, 3), dtype=jnp.int32)  # (B, T2, 256)
+    mmt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    if NIBBLE_LOOKUP:
+        n16 = jnp.arange(16, dtype=jnp.uint8)
+        oh_hi = ((q >> 4)[..., None] == n16).astype(mmt)  # (B,T2,4,px,16)
+        oh_lo = ((q & 15)[..., None] == n16).astype(mmt)
+        # histogram as an outer product over pixels: hist2[h,l] counts
+        # pixels with value h*16+l (0/1 products, sums <= px — exact)
+        hist2 = jnp.einsum("btqph,btqpl->btqhl", oh_hi, oh_lo,
+                           preferred_element_type=jnp.float32)
+        hist = jnp.sum(hist2, axis=2).reshape(B, T2, 256).astype(jnp.int32)
+    else:
+        bins = jnp.arange(256, dtype=jnp.uint8)
+        onehot = (q[..., None] == bins)                  # bool (B,T2,4,px,256)
+        hist = jnp.sum(onehot, axis=(2, 3), dtype=jnp.int32)
     if clip > 0:
         clipped = jnp.minimum(hist, clip)
         excess = jnp.sum(hist - clipped, axis=-1, keepdims=True)
@@ -197,12 +217,19 @@ def clahe_u8_batch(imgs: jax.Array, clip_limit: float = 2.0,
                     cy = min(max(y0 + dy, 0), tiles - 1)
                     cx = min(max(x0 + dx, 0), tiles - 1)
                     C[ty * tiles + tx, qd, c, cy * tiles + cx] = 1.0
-    lut_sel = jnp.einsum("bsv,tqcs->btqcv", luts.astype(jnp.bfloat16),
-                         jnp.asarray(C, jnp.bfloat16))    # exact: 8-bit LUTs
-
-    looked = jnp.einsum("btqpv,btqcv->btqcp",
-                        onehot.astype(jnp.bfloat16), lut_sel,
-                        preferred_element_type=jnp.float32)
+    lut_sel = jnp.einsum("bsv,tqcs->btqcv", luts.astype(mmt),
+                         jnp.asarray(C, mmt))             # exact: 8-bit LUTs
+    if NIBBLE_LOOKUP:
+        lut_hl = lut_sel.reshape(B, T2, 4, 4, 16, 16)
+        # lookup via two rank-16 contractions; each has a single nonzero
+        # term per output (one-hot), so bf16 with f32 accumulation is exact
+        t_lo = jnp.einsum("btqpl,btqchl->btqpch", oh_lo, lut_hl,
+                          preferred_element_type=jnp.float32).astype(mmt)
+        looked = jnp.einsum("btqph,btqpch->btqcp", oh_hi, t_lo,
+                            preferred_element_type=jnp.float32)
+    else:
+        looked = jnp.einsum("btqpv,btqcv->btqcp", onehot.astype(mmt),
+                            lut_sel, preferred_element_type=jnp.float32)
 
     # Bilinear combine with the HOST oracle's exact arithmetic: per-pixel
     # f32 fractions from the GLOBAL coordinate formula (x*(1/tile)-0.5 in

@@ -25,6 +25,13 @@ import numpy as np
 _COEF_BITS = 11
 _COEF_SCALE = 1 << _COEF_BITS  # 2048
 
+# u8-input fast path of resize_bilinear_f32 (one-hot matmul horizontal
+# taps). Bit-identical either way; a module flag rather than config because
+# it is a pure scheduling choice, A/B-able per deployment (tools/tick_ab.py
+# measures it inside the fused serving tick, where MXU/VPU port balance —
+# not isolated stage time — decides).
+U8_MATMUL_HPASS = True
+
 
 @functools.lru_cache(maxsize=None)
 def _linear_tables(src: int, dst: int):
@@ -242,14 +249,33 @@ def _linear_tables_f32(src: int, dst: int):
 def resize_bilinear_f32(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
     """Float bilinear with half-pixel centers, edge-clamped — matches
     torch F.interpolate(mode='bilinear', align_corners=False). Input HWC or
-    CHW-agnostic: operates on the first two axes."""
+    CHW-agnostic: operates on the first two axes.
+
+    uint8 input takes a bit-identical fast path: the horizontal gathers
+    (minor-axis — slow on TPU) become one-hot bf16 matmuls, exact because
+    u8 values are bf16-exact and each one-hot row has a single term; the
+    f32 coefficient combines are then the same operations in the same order
+    as the gather form."""
     src_h, src_w = img.shape[0], img.shape[1]
     sx, sx1, ax0, ax1 = _linear_tables_f32(src_w, dst_w)
     sy, sy1, ay0, ay1 = _linear_tables_f32(src_h, dst_h)
-    x = img.astype(jnp.float32)
     extra = (1,) * (img.ndim - 2)
-    h = x[:, sx] * jnp.asarray(ax0).reshape(1, -1, *extra) + \
-        x[:, sx1] * jnp.asarray(ax1).reshape(1, -1, *extra)
+    if U8_MATMUL_HPASS and img.dtype == jnp.uint8 and img.ndim == 3:
+        Wp = np.zeros((src_w, dst_w), np.float32)
+        Wq = np.zeros((src_w, dst_w), np.float32)
+        Wp[sx, np.arange(dst_w)] = 1.0
+        Wq[sx1, np.arange(dst_w)] = 1.0
+        mmt = _mm_dtype()
+        xb = img.astype(mmt)
+        P = jnp.einsum("hwc,wx->hxc", xb, jnp.asarray(Wp).astype(mmt),
+                       preferred_element_type=jnp.float32)
+        Q = jnp.einsum("hwc,wx->hxc", xb, jnp.asarray(Wq).astype(mmt),
+                       preferred_element_type=jnp.float32)
+    else:
+        x = img.astype(jnp.float32)
+        P, Q = x[:, sx], x[:, sx1]
+    h = P * jnp.asarray(ax0).reshape(1, -1, *extra) + \
+        Q * jnp.asarray(ax1).reshape(1, -1, *extra)
     out = h[sy] * jnp.asarray(ay0).reshape(-1, 1, *extra) + \
           h[sy1] * jnp.asarray(ay1).reshape(-1, 1, *extra)
     return out

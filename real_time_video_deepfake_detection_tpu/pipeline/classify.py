@@ -22,9 +22,12 @@ _IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
 
 def preprocess_aligned(face_rgb_raw: jax.Array, size: int = 224) -> jax.Array:
-    """(H, W, 3) float RGB with raw 0-255 values -> (size, size, 3) normalized
-    (deepfake_detection.py:383-389)."""
-    x = resize_bilinear_f32(face_rgb_raw.astype(jnp.float32), size, size)
+    """(H, W, 3) float (or uint8) RGB with raw 0-255 values -> (size, size,
+    3) normalized (deepfake_detection.py:383-389). uint8 input keeps its
+    dtype into the resize, whose u8 fast path replaces the minor-axis
+    horizontal gathers with exact one-hot matmuls (ops/resize.py) —
+    bit-identical output, measurably faster in the serving tick."""
+    x = resize_bilinear_f32(face_rgb_raw, size, size)
     x = x / 255.0
     return (x - _IMAGENET_MEAN) / _IMAGENET_STD
 

@@ -147,8 +147,10 @@ def _step_core(spec, cfg: DetectorConfig, params,
         x = preprocess_faces_pallas(faces_raw.astype(jnp.float32),
                                     cfg.model_input_size)
     else:
+        # u8 faces keep their dtype: preprocess_aligned's u8 fast path runs
+        # the horizontal resize taps as exact one-hot matmuls
         x = jax.vmap(lambda f: preprocess_aligned(
-            f.astype(jnp.float32), cfg.model_input_size))(faces_raw)
+            f, cfg.model_input_size))(faces_raw)
     # clip mode: params = {"backbone": pytree, "clip_head": head pytree};
     # the classifier dispatches on the spec type (models/backbones.py), so
     # the same tick serves EfficientNet, ViT, or Xception backbones.
@@ -244,7 +246,8 @@ def device_step_compact(spec, cfg: DetectorConfig, params,
     return out, new_full
 
 
-def make_device_step_detect(net, spec, cfg: DetectorConfig):
+def make_device_step_detect(net, spec, cfg: DetectorConfig,
+                            mtcnn_params=None):
     """ONE XLA program per tick for the full capture->verdict path
     (round-2 verdict #1: face detection batched into the serving tick):
 
@@ -255,6 +258,7 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
         -> cv2-parity resize 256 -> six forensic signals
         -> per-stream dynamic crop + cv2-parity align resize 160 (RGB)
            [+ device CLAHE when cfg.clahe_device]
+           [-> batched MTCNN P/R/O alignment when cfg.mtcnn_device]
         -> classifier -> small-face heuristic -> tracker update -> verdict
 
     `net` is the compiled Caffe graph (models/caffe_net.CaffeNet). Uses the
@@ -262,16 +266,30 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
     carry B <= N_slots entries, slot_idx maps to rows of the (N_slots+1)-row
     state pytree, padded entries target the dummy row with active=False.
 
-    Alignment note: this pairs with the resize aligner (the MTCNN aligner
-    re-detects on host and cannot live in the tick); CLAHE runs on-device on
-    the aligned crop when cfg.clahe_device (the documented commuted
-    approximation), matching the engine's host path with the same flag.
+    Alignment: by default this pairs with the resize aligner. With
+    cfg.mtcnn_device (and converted facenet weights in `mtcnn_params`), the
+    reference's FULL face path runs in the tick in the reference's order —
+    SSD crop -> CLAHE (when cfg.clahe_device) -> MTCNN align -> classify
+    (deepfake_detection.py:357-398) — with the cascade seeing the crop
+    resized to mtcnn_image_size (static pyramid; documented deviation). A
+    stream whose crop fails the cascade falls to forensic-only, exactly
+    like the reference's `mtcnn(img) is None` branch.
     """
     from ..models.ssd_res10 import detect_postprocess_batch
     from ..ops.resize import crop_resize_u8_cv2
 
     h256, w256 = cfg.forensic.analysis_size
     m = cfg.mtcnn_image_size
+    if cfg.mtcnn_device:
+        if mtcnn_params is None:
+            raise ValueError("cfg.mtcnn_device requires mtcnn_params "
+                             "(converted facenet P/R/O-Net weights)")
+        from ..models.mtcnn import mtcnn_align_batch
+        # CLAHE (when enabled) runs BEFORE alignment inside detect_prep —
+        # the reference's order — so the core step must not re-apply it.
+        step_cfg = dataclasses.replace(cfg, clahe_device=False)
+    else:
+        step_cfg = cfg
 
     if cfg.ssd_bf16:
         # cast the Caffe graph's conv weights once at build time; the graph
@@ -313,6 +331,25 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
             lambda f, b: crop_resize_u8_cv2(f[:, :, ::-1], b, m, m)
         )(frames_capture_u8, box)
         face_hw = jnp.stack([box[:, 3], box[:, 2]], axis=1)  # (fh, fw)
+        if cfg.mtcnn_device:
+            if cfg.clahe_device:
+                # reference order: CLAHE on the crop, THEN MTCNN alignment
+                # (preprocess_face_quality before mtcnn(),
+                # deepfake_detection.py:357-383)
+                from ..ops.clahe import clahe_u8_batch
+                from ..ops.color import lab_to_rgb_u8, rgb_to_lab_u8
+                lab = rgb_to_lab_u8(faces_raw)
+                L = clahe_u8_batch(lab[..., 0])
+                faces_raw = lab_to_rgb_u8(jnp.stack(
+                    [L, lab[..., 1], lab[..., 2]], axis=-1))
+            mp, mr, mo = cfg.mtcnn_tick_caps
+            mfaces, mscores, _mboxes = mtcnn_align_batch(
+                mtcnn_params, faces_raw.astype(jnp.float32),
+                image_size=m, max_p=mp, max_r=mr, max_o=mo)
+            # cascade found no face in the crop -> forensic-only, the
+            # reference's `mtcnn(img) is None` branch (:379-381)
+            has_face = has_face & (mscores > 0.0)
+            faces_raw = mfaces
         return frames_256, faces_raw, has_face, face_hw, box, d["n_faces"]
 
     @jax.jit
@@ -320,8 +357,8 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
         (frames_256, faces_raw, has_face, face_hw, box,
          n_faces) = detect_prep(frames_capture_u8, active)
         sub = jax.tree.map(lambda s: s[slot_idx], states)
-        out, new_sub = _step_core(spec, cfg, params, frames_256, faces_raw,
-                                  has_face, face_hw, active, sub)
+        out, new_sub = _step_core(spec, step_cfg, params, frames_256,
+                                  faces_raw, has_face, face_hw, active, sub)
         new_full = jax.tree.map(
             lambda full, ns: full.at[slot_idx].set(ns), states, new_sub)
         out["face_bbox"] = box
@@ -333,7 +370,8 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig):
     return step
 
 
-def make_sharded_device_step_detect(mesh, net, spec, cfg: DetectorConfig):
+def make_sharded_device_step_detect(mesh, net, spec, cfg: DetectorConfig,
+                                    mtcnn_params=None):
     """Multi-chip device-detect tick over a ("data",) mesh: the STREAM axis
     of frames/state is partitioned across chips — each chip runs SSD
     detection, forensics, crop/align(/CLAHE) and classification for its
@@ -345,12 +383,15 @@ def make_sharded_device_step_detect(mesh, net, spec, cfg: DetectorConfig):
     mesh size. Exercised on the virtual CPU mesh by the driver dryrun."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    detect_prep = make_device_step_detect(net, spec, cfg)._detect_prep
+    detect_prep = make_device_step_detect(
+        net, spec, cfg, mtcnn_params)._detect_prep
+    step_cfg = (dataclasses.replace(cfg, clahe_device=False)
+                if cfg.mtcnn_device else cfg)
 
     def body(params, frames_capture_u8, active, states):
         (frames_256, faces_raw, has_face, face_hw, box,
          n_faces) = detect_prep(frames_capture_u8, active)
-        out, new_states = _step_core(spec, cfg, params, frames_256,
+        out, new_states = _step_core(spec, step_cfg, params, frames_256,
                                      faces_raw, has_face, face_hw, active,
                                      states)
         out["face_bbox"] = box

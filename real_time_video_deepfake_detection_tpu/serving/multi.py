@@ -100,7 +100,10 @@ class MultiStreamEngine:
         self._faces_dtype = (
             np.float32 if type(aligner).__name__ == "MTCNNAligner"
             else np.uint8)
-        if cfg.clahe_device and self._faces_dtype != np.uint8:
+        if (cfg.clahe_device and self._faces_dtype != np.uint8
+                and not (server_cfg.device_detect and cfg.mtcnn_device)):
+            # (mtcnn_device ticks CLAHE the crop on device BEFORE the in-tick
+            # cascade, so the host aligner never sees CLAHE'd input there)
             raise ValueError("clahe_device requires the resize aligner "
                              "(u8 crops); MTCNN alignment needs the "
                              "CLAHE'd image on host")
@@ -121,9 +124,19 @@ class MultiStreamEngine:
         # resize aligner (MTCNN re-detects on host and cannot be fused).
         self._detect_steps = None
         if server_cfg.device_detect:
-            if type(self.aligner).__name__ == "MTCNNAligner":
+            mtcnn_params = None
+            if cfg.mtcnn_device:
+                mtcnn_params = getattr(self.aligner, "params", None)
+                if (type(self.aligner).__name__ != "MTCNNAligner"
+                        or mtcnn_params is None):
+                    raise ValueError(
+                        "mtcnn_device requires an MTCNNAligner (converted "
+                        "facenet weights) on the engine")
+            elif type(self.aligner).__name__ == "MTCNNAligner":
                 raise ValueError("device_detect pairs with the resize "
-                                 "aligner; the MTCNN aligner is host-side")
+                                 "aligner (or cfg.mtcnn_device to run the "
+                                 "cascade in the tick); the plain MTCNN "
+                                 "aligner is host-side")
             net = ssd_net
             if net is None:
                 ssd = getattr(self.face_detector, "_ssd", None)
@@ -134,7 +147,7 @@ class MultiStreamEngine:
                     "construct the FaceDetector with a caffemodel")
             from .batcher import make_device_step_detect
             self._detect_steps = {
-                c: make_device_step_detect(net, self.spec, c)
+                c: make_device_step_detect(net, self.spec, c, mtcnn_params)
                 for c in dict.fromkeys(self._tick_cfgs)}
 
         self.n_slots = server_cfg.max_streams

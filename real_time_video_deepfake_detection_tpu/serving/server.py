@@ -264,6 +264,12 @@ def main(argv=None):
                    help="batched mode only: run SSD detection + crop/align "
                         "inside the device tick (one XLA program for "
                         "capture->verdict); requires --ssd-weights")
+    p.add_argument("--mtcnn-device", action="store_true",
+                   help="with --device-detect and --mtcnn-weights: run the "
+                        "MTCNN P/R/O alignment cascade inside the tick too "
+                        "(the reference's full face path in one program); "
+                        "the cascade sees the crop resized to 160 "
+                        "(documented deviation, docs/DESIGN.md)")
     args = p.parse_args(argv)
     import dataclasses as _dc
     from ..models import backbones
@@ -272,6 +278,11 @@ def main(argv=None):
                       face_backend=args.face_backend,
                       clip_window=args.clip_window,
                       clip_feature_dim=backbones.feature_dim(spec))
+    if args.mtcnn_device:
+        if not (args.device_detect and args.mtcnn_weights):
+            raise SystemExit("--mtcnn-device requires --device-detect "
+                             "and --mtcnn-weights")
+        cfg = _dc.replace(cfg, mtcnn_device=True)
     if args.device_detect:
         # the reference applies CLAHE to every face crop
         # (deepfake_detection.py:357-370); in device-detect mode the crop

@@ -101,12 +101,19 @@ def _head_txt(src, idx, n_priors, min_size, max_size, ars):
 
 
 def res10_class_ssd(out_dir: str, seed: int = 0,
-                    channels: Tuple[int, ...] = (32, 64, 128, 256)
-                    ) -> Tuple[str, str]:
+                    channels: Tuple[int, ...] = (32, 64, 128, 256),
+                    decisive: bool = False) -> Tuple[str, str]:
     """Write deploy.prototxt + model.caffemodel into out_dir; returns their
     paths. Trunk: 7x7/2 stem + maxpool + 4 residual basic blocks (strides
     1,2,2,2 -> 75/38/19/10 px maps) + one extra 3x3/2 SSD layer (5 px); SSD
-    heads on the 19/10/5 maps."""
+    heads on the 19/10/5 maps.
+
+    decisive=False (default) keeps conf logits near the softmax tie so
+    parity drills stress threshold/tie handling — the hardest case.
+    decisive=True scales the conf head so softmax saturates (confidences
+    near 0 or 1, like a trained detector's): used by the bench, where
+    near-tie confs would make bf16-vs-f32 box equality a coin flip that no
+    real checkpoint exhibits."""
     rng = np.random.default_rng(seed)
     c1, c2, c3, c4 = channels
 
@@ -164,9 +171,12 @@ def res10_class_ssd(out_dir: str, seed: int = 0,
         cin = {1: c3, 2: c4, 3: c3}[idx]
         for nm, cout in ((f"loc{idx}", np_ * 4), (f"conf{idx}", np_ * 2)):
             # small head scales keep decoded boxes near their priors and
-            # conf logits near 0.5 — so synthetic detections stay finite
-            # and occasionally valid (useful for parity drills)
-            scale = 0.02 if nm.startswith("loc") else 0.3
+            # (non-decisive) conf logits near 0.5 — so synthetic detections
+            # stay finite and occasionally valid (useful for parity drills)
+            if nm.startswith("loc"):
+                scale = 0.02
+            else:
+                scale = 4.0 if decisive else 0.3
             w = (rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
                  * np.sqrt(2.0 / (cin * 9)) * scale)
             b = rng.standard_normal((cout,)).astype(np.float32) * 0.1

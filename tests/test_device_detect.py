@@ -209,6 +209,122 @@ def test_engine_device_detect_jpeg_tick_pooled_prep(synth_ssd):
     eng.shutdown()
 
 
+def _decisive_mtcnn(seed=5, accept=True):
+    """Random MTCNN params with the class heads biased so the cascade
+    deterministically accepts (or, at the O-Net, rejects) every crop —
+    random-init logits would make threshold crossings a coin flip."""
+    from real_time_video_deepfake_detection_tpu.models.mtcnn import (
+        init_random_mtcnn,
+    )
+    p = init_random_mtcnn(seed)
+    bias = jnp.asarray([-5.0, 5.0], jnp.float32)
+    p["pnet"]["conv4_1"]["b"] = bias
+    p["rnet"]["dense5_1"]["b"] = bias
+    p["onet"]["dense6_1"]["b"] = bias if accept else -bias
+    return p
+
+
+@pytest.mark.slow
+def test_mtcnn_device_tick_matches_composed_host_ops(synth_ssd):
+    """cfg.mtcnn_device: the in-tick alignment must equal composing the SAME
+    exact ops on host per frame — SSD box -> crop_resize 160 RGB -> CLAHE
+    (reference order: before the cascade) -> mtcnn_detect_static ->
+    preprocess -> classifier -> small-face boost."""
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.models import backbones
+    from real_time_video_deepfake_detection_tpu.models.mtcnn import (
+        mtcnn_detect_static,
+    )
+    from real_time_video_deepfake_detection_tpu.ops.clahe import clahe_u8_batch
+    from real_time_video_deepfake_detection_tpu.ops.color import (
+        lab_to_rgb_u8, rgb_to_lab_u8,
+    )
+    from real_time_video_deepfake_detection_tpu.pipeline.classify import (
+        preprocess_aligned,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.batcher import (
+        init_stream_states, make_device_step_detect,
+    )
+
+    mt = _decisive_mtcnn()
+    caps = dict(max_p=32, max_r=8, max_o=4)
+    cfg = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55), clahe_device=True,
+        mtcnn_device=True, mtcnn_tick_caps=(32, 8, 4))
+    spec = backbones.make("b0")
+    params = backbones.init_params(jax.random.PRNGKey(0), spec)
+    n = 4
+    step = make_device_step_detect(synth_ssd.net, spec, cfg, mt)
+    states = init_stream_states(n + 1, cfg)
+    frames = rng.integers(0, 256, (n, 480, 640, 3), dtype=np.uint8)
+    out, _ = step(params, jnp.asarray(frames), jnp.ones((n,), bool),
+                  jnp.arange(n, dtype=jnp.int32), states)
+
+    saw_face = False
+    for i, f in enumerate(frames):
+        host_boxes = synth_ssd.detect(f, 0.5, 20)
+        if not host_boxes:
+            assert not bool(out["has_face"][i])
+            continue
+        x, y, w, h = host_boxes[0]
+        crop = crop_resize_u8_cv2(
+            jnp.asarray(f)[:, :, ::-1],
+            jnp.asarray([x, y, w, h], np.int32), 160, 160)
+        lab = rgb_to_lab_u8(crop[None])
+        L = clahe_u8_batch(lab[..., 0])
+        rgb = lab_to_rgb_u8(jnp.stack(
+            [L, lab[..., 1], lab[..., 2]], axis=-1))[0]
+        face, score, _box = mtcnn_detect_static(
+            mt, rgb.astype(jnp.float32), image_size=160, **caps)
+        assert bool(out["has_face"][i]) == bool(score > 0)
+        if not bool(score > 0):
+            continue
+        saw_face = True
+        x224 = preprocess_aligned(face)
+        logits = backbones.forward(params, x224[None], spec)
+        prob = float(jax.nn.sigmoid(logits[0, 0]))
+        if h < cfg.small_face_px or w < cfg.small_face_px:
+            prob = min(prob + cfg.small_face_boost, 1.0)
+        assert float(out["face_probability"][i]) == pytest.approx(
+            prob, abs=1e-5), i
+        got_bbox = tuple(int(v) for v in np.asarray(out["face_bbox"][i]))
+        assert got_bbox == (x, y, w, h)
+    assert saw_face, "no SSD detection accepted by the cascade — test inert"
+
+
+@pytest.mark.slow
+def test_mtcnn_device_onet_reject_falls_to_forensic(synth_ssd):
+    """An O-Net rejection must downgrade the stream to forensic-only (the
+    reference's `mtcnn(img) is None` branch), even when SSD found a box."""
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig, ServerConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.models.mtcnn import (
+        MTCNNAligner,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        MultiStreamEngine,
+    )
+
+    cfg = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55), clahe_device=True,
+        mtcnn_device=True, mtcnn_tick_caps=(32, 8, 4))
+    scfg = ServerConfig(max_streams=2, max_batch=2, batch_timeout_ms=2.0,
+                        min_request_interval=0.0, device_detect=True)
+    eng = MultiStreamEngine(
+        cfg, scfg, aligner=MTCNNAligner(_decisive_mtcnn(accept=False)),
+        ssd_net=synth_ssd.net)
+    frame = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    r = eng.analyze(frame, "s0")
+    assert r["analysis_mode"] == "frame_only"
+    assert "face_probability" not in r
+    assert r["fake_probability"] == pytest.approx(
+        r["frame_forensic_probability"])
+    eng.shutdown()
+
+
 @pytest.mark.slow
 def test_engine_device_detect_streams_and_reset(synth_ssd):
     """Per-stream state isolation and /reset semantics hold in detect mode;

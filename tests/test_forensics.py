@@ -66,6 +66,16 @@ def test_resize_f32_matches_torch_semantics():
     assert abs(out[0, 0, 0] - x[0, 0, 0]) < 0.5
 
 
+def test_resize_f32_u8_fast_path_bit_identical():
+    # the u8 one-hot-matmul horizontal pass must reproduce the f32 gather
+    # form bit-for-bit (ops/resize.py resize_bilinear_f32 docstring)
+    img = rng.integers(0, 256, (160, 160, 3), dtype=np.uint8)
+    via_u8 = np.asarray(resize_bilinear_f32(jnp.asarray(img), 224, 224))
+    via_f32 = np.asarray(
+        resize_bilinear_f32(jnp.asarray(img, jnp.float32), 224, 224))
+    np.testing.assert_array_equal(via_u8, via_f32)
+
+
 def test_gaussian_blur5_bit_exact():
     g = cv2.cvtColor(_rand_img(), cv2.COLOR_BGR2GRAY).astype(np.float32)
     ref = cv2.GaussianBlur(g, (5, 5), 0)
