@@ -80,8 +80,12 @@ def _solve_homography(dst_pts, src_pts):
     return jnp.concatenate([h, jnp.ones((1,))]).reshape(3, 3)
 
 
-def _warp_bilinear(img, H):
-    """img (H,W,3) f32; H maps output coords -> input coords. Zero fill."""
+def _warp_bilinear_gather(img, H):
+    """Direct 2D-gather bilinear warp (the textbook form) — kept as the
+    numeric reference for _warp_bilinear's two-pass formulation. On TPU the
+    per-pixel 2D gathers made this 2.0 ms/img (252 ms of a 407 ms train
+    step at batch 128) — the minor-axis-gather pathology documented in
+    docs/DESIGN.md."""
     h, w = img.shape[0], img.shape[1]
     ys, xs = jnp.mgrid[0:h, 0:w]
     ones = jnp.ones_like(xs)
@@ -99,6 +103,85 @@ def _warp_bilinear(img, H):
     fv = (v - v0)[..., None]
     out = (img[v0, u0] * (1 - fu) * (1 - fv) + img[v0, u1] * fu * (1 - fv)
            + img[v1, u0] * (1 - fu) * fv + img[v1, u1] * fu * fv)
+    return jnp.where(inb[..., None], out, 0.0)
+
+
+def _warp_bilinear(img, H):
+    """img (H,W,3) f32; H maps output coords -> input coords (homogeneous).
+    Zero fill outside the source.
+
+    TPU-native two-pass (Catmull-Smith) projective resampling: pass 1
+    resamples each COLUMN u at rows V2(y,u), pass 2 resamples each ROW y at
+    columns U(y,x) — each pass a 2-tap coefficient contraction (einsum on
+    the MXU) instead of per-pixel 2D gathers (measured 252 -> ~8 ms for a
+    128x224^2 batch). Exact pass composition: with X(y,u) the analytic
+    inverse of U(y,.) and V2(y,u) = V(y, X(y,u)),
+      t(y,u)   = in(V2(y,u), u)
+      out(y,x) = t(y, U(y,x)) = in(V(y,x), U(y,x)).
+    The separable 2-tap chain differs from direct 2D bilinear only in tap
+    cross-terms (bilinear-of-bilinear); for the augmentation's mild warps
+    (<=15 deg rotation, <=15% perspective) the difference is a fraction of
+    a grey level (asserted vs _warp_bilinear_gather in
+    tests/test_training.py), and identity maps reproduce the input exactly
+    in the f32 path (the TPU path contracts in bf16: <=1 u8 LSB).
+    Denominators are bounded away from zero for these warps (|H00| >= ~0.5
+    after composition; guards keep FP safe regardless)."""
+    h, w = img.shape[0], img.shape[1]
+    a, b, c = H[0, 0], H[0, 1], H[0, 2]
+    d, e, f = H[1, 0], H[1, 1], H[1, 2]
+    g, p, q = H[2, 0], H[2, 1], H[2, 2]
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]       # (h, 1)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]       # (1, w)
+
+    def safe_div(num, den):
+        den = jnp.where(jnp.abs(den) < 1e-8,
+                        jnp.where(den < 0, -1e-8, 1e-8), den)
+        return num / den
+
+    # direct map (for pass-2 columns and the zero-fill mask)
+    den = g * xs + p * ys + q                            # (h, w)
+    U = safe_div(a * xs + b * ys + c, den)
+    V = safe_div(d * xs + e * ys + f, den)
+    inb = (U >= 0) & (U <= w - 1) & (V >= 0) & (V <= h - 1)
+
+    # pass-1 rows: X(y,u) solves U(y, X) = u, then V2 = V(y, X)
+    us = xs                                              # intermediate cols
+    X = safe_div(b * ys + c - us * (p * ys + q), us * g - a)
+    V2 = safe_div(d * X + e * ys + f, g * X + p * ys + q)
+
+    mmt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    # vertical pass: t[y, u] = (1-fv) in[r0, u] + fv in[r1, u].
+    # The (h, h, w) weight tensors are built DIRECTLY in the matmul dtype —
+    # an f32 build + cast doubles the dominant HBM traffic.
+    V2c = jnp.clip(V2, 0, h - 1)
+    r0 = jnp.floor(V2c)
+    fv = (V2c - r0).astype(mmt)
+    r0 = r0.astype(jnp.int32)
+    r1 = jnp.minimum(r0 + 1, h - 1)
+    rr = jnp.arange(h, dtype=jnp.int32)
+    one = jnp.asarray(1.0, mmt)
+    Wv = (jnp.where(rr[None, :, None] == r0[:, None, :],
+                    (one - fv)[:, None, :], jnp.asarray(0.0, mmt))
+          + jnp.where(rr[None, :, None] == r1[:, None, :],
+                      fv[:, None, :], jnp.asarray(0.0, mmt)))
+    t = jnp.einsum("yru,ruc->yuc", Wv, img.astype(mmt),
+                   preferred_element_type=jnp.float32)
+
+    # horizontal pass: out[y, x] = (1-fu) t[y, u0] + fu t[y, u1]
+    Uc = jnp.clip(U, 0, w - 1)
+    u0 = jnp.floor(Uc)
+    fu = (Uc - u0).astype(mmt)
+    u0 = u0.astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, w - 1)
+    uu = jnp.arange(w, dtype=jnp.int32)
+    Wh = (jnp.where(uu[None, None, :] == u0[:, :, None],
+                    (one - fu)[:, :, None], jnp.asarray(0.0, mmt))
+          + jnp.where(uu[None, None, :] == u1[:, :, None],
+                      fu[:, :, None], jnp.asarray(0.0, mmt)))
+    out = jnp.einsum("yxu,yuc->yxc", Wh, t.astype(mmt),
+                     preferred_element_type=jnp.float32)
     return jnp.where(inb[..., None], out, 0.0)
 
 

@@ -22,6 +22,10 @@ from ..core.config import TrainConfig
 from ..models import backbones
 from ..models.backbones import forward, forward_train, update_bn_stats
 from ..models.efficientnet import EfficientNetSpec
+# top-level import: augment's module-level jnp constants must not be
+# created inside a caller's jit trace (UnexpectedTracerError when its first
+# import happened while tracing fused_train_step)
+from .augment import augment_batch, mixup_cutmix
 from .losses import focal_loss_with_smoothing
 
 
@@ -173,8 +177,6 @@ def fused_train_step(state: TrainState, imgs_u8: jax.Array, labels: jax.Array,
     (train.py:596-605) purely to fit memory; on TPU the full effective batch
     fits, so one step == one optimizer update with the same effective batch.
     """
-    from .augment import augment_batch, mixup_cutmix
-
     rng, k_aug, k_mix, k_drop = jax.random.split(state.rng, 4)
     x = augment_batch(k_aug, imgs_u8, cfg.image_size)
     x, y_a, y_b, lam = mixup_cutmix(k_mix, x, labels,

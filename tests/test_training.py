@@ -86,6 +86,44 @@ def test_augment_batch_shapes_and_range():
     assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 0.01
 
 
+def test_warp_two_pass_matches_gather_reference():
+    """The TPU-native two-pass warp must agree with the direct 2D-gather
+    bilinear warp: exactly on identity maps (f32 path), and within a
+    fraction of a grey level on the augmentation's mild projective warps
+    (bilinear-of-bilinear vs direct bilinear tap cross-terms)."""
+    from real_time_video_deepfake_detection_tpu.train.augment import (
+        _sample_homography, _warp_bilinear, _warp_bilinear_gather,
+    )
+
+    noise = jnp.asarray(
+        rng.integers(0, 256, (64, 64, 3)).astype(np.float32) / 255.0)
+    ys, xs = np.mgrid[0:64, 0:64]
+    smooth = jnp.asarray(np.stack(
+        [np.sin(xs / 9.0) * 0.5 + 0.5, np.cos(ys / 7.0) * 0.5 + 0.5,
+         (xs + ys) / 126.0], -1).astype(np.float32))
+    ident = jnp.eye(3)
+    np.testing.assert_array_equal(
+        np.asarray(_warp_bilinear(noise, ident)), np.asarray(noise))
+
+    for seed in range(4):
+        H = _sample_homography(jax.random.PRNGKey(seed), 64, 64)
+        for img, max_tol, mean_tol in (
+                # the cross-term difference scales with local pixel
+                # variance: tight on smooth content (faces), loose on
+                # white noise (adversarial worst case)
+                # noise bounds are generous: per-pixel cross-terms on white
+                # noise are O(local variance) and carry no geometry signal —
+                # the footprint equality + smooth-content bound do
+                (smooth, 1.0 / 255.0, 0.01 / 255.0),
+                (noise, 50.0 / 255.0, 5.0 / 255.0)):
+            got = np.asarray(_warp_bilinear(img, H))
+            want = np.asarray(_warp_bilinear_gather(img, H))
+            # same zero-fill footprint
+            np.testing.assert_array_equal(got == 0.0, want == 0.0)
+            assert np.abs(got - want).max() < max_tol, seed
+            assert np.abs(got - want).mean() < mean_tol, seed
+
+
 def test_augment_rng_keys_unique_and_draws_decorrelated():
     """Round-2 verdict: augment_one reused PRNG keys, correlating the noise
     gate with the JPEG quality draw and erase y with erase x. Guard both the
