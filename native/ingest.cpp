@@ -252,16 +252,21 @@ bool detect_heuristic_native(const uint8_t* bgr, int h, int w, int box[4]) {
 
 // ----------------------------------------------------------------- CLAHE
 //
-// Exact port of ops/clahe.py clahe_u8_numpy (itself bit-exact vs cv2 for
-// tile-divisible sizes): reflect-101-free trailing pad (numpy 'reflect'),
-// clip + uniform redistribution with residual stepping, rounded-CDF LUTs,
-// float32 bilinear LUT interpolation with numpy's op order.
+// Exact port of ops/clahe.py clahe_u8_numpy (itself matching cv2 up to
+// cv2's own build-dependent f32 lerp ties — ops/clahe.py docstring):
+// cv2 5.0's LITERAL padding rule (a divisible dim gets a FULL extra tile
+// whenever the other dim triggers padding) with numpy 'reflect'
+// (reflect-101), clip + uniform redistribution with residual stepping,
+// rounded-CDF LUTs, float32 bilinear LUT interpolation in numpy's op order.
 
 void clahe_u8_native(const uint8_t* src, int h, int w, double clip_limit,
                      int tiles, uint8_t* dst) {
-  const int tile_h = (h + tiles - 1) / tiles;
-  const int tile_w = (w + tiles - 1) / tiles;
-  const int H = tile_h * tiles, W = tile_w * tiles;
+  const bool pad = (h % tiles) != 0 || (w % tiles) != 0;
+  const int ph = pad ? tiles - (h % tiles) : 0;
+  const int pw = pad ? tiles - (w % tiles) : 0;
+  const int tile_h = (h + ph) / tiles;
+  const int tile_w = (w + pw) / tiles;
+  const int H = h + ph, W = w + pw;
   std::vector<uint8_t> img(static_cast<size_t>(H) * W);
   for (int y = 0; y < H; ++y) {
     // numpy 'reflect' (reflect-101): index 2*(n-1) - i for i >= n

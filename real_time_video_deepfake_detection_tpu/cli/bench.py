@@ -516,6 +516,17 @@ def bench_e2e(n_streams=64, frames_per_stream=5, device_detect=True):
     }
 
 
+def _phase(msg):
+    """Progress marker on stderr (stdout is reserved for the ONE JSON
+    line). Over the tunnel a cold run is ~20 remote compiles with zero
+    other output — without these markers a healthy run is
+    indistinguishable from a hung one."""
+    import sys
+    import time as _t
+    print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     import jax
     try:
@@ -525,6 +536,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    _phase("classify core fp32")
     core32 = bench_core()
     # Faster serving configurations take the headline only behind guards:
     #   bf16      - probability drift vs fp32 < 1e-3 AND identical verdicts
@@ -533,6 +545,7 @@ def main():
     use_bf16 = False
     bf16_txt = ""
     try:
+        _phase("bf16 parity guard")
         guard = bf16_parity_guard()
         if guard["ok"]:
             use_bf16 = True
@@ -543,6 +556,7 @@ def main():
         pass
     use_tick = False
     try:
+        _phase("tick-schedule guard")
         use_tick = tick_schedule_guard(bf16=use_bf16)
     except Exception:   # pragma: no cover
         pass
@@ -550,6 +564,7 @@ def main():
     core = core32
     mode_txt = "fp32 parity mode"
     if use_bf16 or use_tick:
+        _phase("classify core fast modes")
         cand = bench_core(bf16=use_bf16, tick_schedule=use_tick)
         if cand["fps"] <= core32["fps"] and use_bf16 and use_tick:
             # tick scheduling can regress on some runtimes (program
@@ -577,6 +592,7 @@ def main():
     try:
         use_ssd16 = False
         try:
+            _phase("ssd bf16 guard")
             g = detect_ssd_bf16_guard()
             use_ssd16 = g["ok"]
             if use_ssd16:
@@ -585,6 +601,7 @@ def main():
                              f"{g['max_prob_diff']:.1e})")
         except Exception:   # pragma: no cover
             pass
+        _phase("detect-inclusive core")
         detect = bench_core_detect(bf16=use_bf16, tick_schedule=use_tick,
                                    ssd_bf16=use_ssd16)
         if use_ssd16:
@@ -608,6 +625,7 @@ def main():
     # detection, CLAHE, forensics, classify, tracker.
     mtcnn_txt = ""
     try:
+        _phase("mtcnn-fused detect core")
         mtd = bench_core_detect(bf16=use_bf16, tick_schedule=use_tick,
                                 mtcnn=True, n_windows=6, latency_iters=0)
         mtcnn_txt = (f"; with the MTCNN P/R/O alignment cascade ALSO fused "
@@ -618,12 +636,14 @@ def main():
         pass
 
     try:
+        _phase("e2e engine (device-detect)")
         e2e = bench_e2e(device_detect=True)
         # second flavor: host-prep heuristic engine — transfers only the
         # 256 frame + 160 crop per request (~0.27 MB vs 0.92 MB), so on a
         # thin host link it shows the data-plane ceiling the detect mode
         # would reach co-located
         try:
+            _phase("e2e engine (host-prep heuristic)")
             e2e_h = bench_e2e(device_detect=False)
             heu_txt = (f" (host-prep heuristic flavor: {e2e_h['fps']:.0f} "
                        f"fps, req p95 {e2e_h['req_ms_p95']:.0f} ms)")
@@ -633,6 +653,7 @@ def main():
         ncpu = os.cpu_count() or 1
         err_txt = (f" [{e2e['first_error']}]" if e2e.get("first_error") else "")
         try:
+            _phase("prep scaling")
             prep = bench_prep_scaling()
             prep_txt = (" (pooled native decode, 64x480p/tick: "
                         + " ".join(f"{v:.0f}ms@{t}thr"

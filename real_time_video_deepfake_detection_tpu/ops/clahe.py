@@ -37,13 +37,19 @@ def _lut_for_tile(hist: np.ndarray, clip_limit: int, tile_area: int) -> np.ndarr
     rounded-CDF LUT. Verified bit-exact vs cv2 5.0 for tile-divisible images
     across areas 48..4096 (controlled-histogram probes; see tests).
 
-    KNOWN DEVIATION: for images NOT divisible by the tile grid, cv2 5.0's
-    internal geometry could not be fully reverse-engineered (its behavior is
-    inconsistent between no-clip and clipped probes — likely a SIMD/scalar
-    code-path split). There this implementation (pad-to-multiple with
-    reflect-101, OpenCV-4 geometry) differs by a few LSB on a subset of
-    pixels. The serving path uses divisible crop buckets, where output is
-    bit-exact."""
+    Non-divisible geometry: cv2 5.0 pads with its LITERAL rule (see
+    _cv2_pad_amounts — a divisible dim gets a FULL extra tile when the
+    other dim triggers padding); with that reproduced, non-divisible
+    outputs match cv2 exactly up to the residual below.
+
+    RESIDUAL DEVIATION (divisible sizes included): at certain tile sizes
+    (empirically 10/18/20/22-px tiles) a <0.5% subset of pixels differs by
+    +-1 from cv2 — f32 lerp values landing on rounding boundaries, where
+    cv2's own result depends on its build's fma contraction (probes: exact
+    two-step f32, fma-coordinate, fma-accumulation, f64, and fixed-point
+    reconstructions each match a different subset). Bit-parity there is
+    ill-defined against cv2-as-a-family; this implementation keeps numpy's
+    two-step f32 arithmetic."""
     if clip_limit > 0:
         clipped = np.minimum(hist, clip_limit)
         excess = int(hist.sum() - clipped.sum())
@@ -61,13 +67,28 @@ def _lut_for_tile(hist: np.ndarray, clip_limit: int, tile_area: int) -> np.ndarr
     return np.clip(np.rint(cdf * scale), 0, 255).astype(np.uint8)
 
 
+def _cv2_pad_amounts(h: int, w: int, tiles: int):
+    """cv2 5.0's LITERAL padding rule (clahe.cpp): when EITHER dimension is
+    not tile-divisible, BOTH are padded by `tiles - dim % tiles` — which is
+    a FULL EXTRA TILE for a dimension that was already divisible. Empirical
+    discovery (this repo, vs cv2 5.0.0): a modulo pad (`(-dim) % tiles`)
+    matches cv2 only when both dims are non-divisible; with exactly one
+    divisible dim the tile geometry diverges and outputs differ by up to
+    tens of grey levels. With this rule the non-divisible geometry matches
+    cv2 exactly."""
+    if h % tiles or w % tiles:
+        return tiles - (h % tiles), tiles - (w % tiles)
+    return 0, 0
+
+
 def clahe_u8_numpy(src: np.ndarray, clip_limit: float = 2.0,
                    tiles: int = 8) -> np.ndarray:
-    """cv2.createCLAHE(clip_limit, (tiles,tiles)).apply(src), bit-exact."""
+    """cv2.createCLAHE(clip_limit, (tiles,tiles)).apply(src), bit-exact up
+    to cv2's own build-dependent f32 lerp ties (see module docstring)."""
     h, w = src.shape
-    tile_h = (h + tiles - 1) // tiles
-    tile_w = (w + tiles - 1) // tiles
-    ph, pw = tile_h * tiles - h, tile_w * tiles - w
+    ph, pw = _cv2_pad_amounts(h, w, tiles)
+    tile_h = (h + ph) // tiles
+    tile_w = (w + pw) // tiles
     img = np.pad(src, ((0, ph), (0, pw)), mode="reflect") if (ph or pw) else src
     H, W = img.shape
 
@@ -279,12 +300,13 @@ def _quadrant_fracs(H: int, W: int, tiles: int):
 
 
 def clahe_u8_jnp(src: jax.Array, clip_limit: float = 2.0, tiles: int = 8) -> jax.Array:
-    """Fixed-shape jitted CLAHE (same algorithm; H, W static, divisible by
-    `tiles` for the batched device path)."""
+    """Fixed-shape jitted CLAHE (same algorithm incl. cv2 5.0's literal
+    padding; H, W static, divisible by `tiles` for the batched device
+    path)."""
     h, w = src.shape
-    tile_h = (h + tiles - 1) // tiles
-    tile_w = (w + tiles - 1) // tiles
-    ph, pw = tile_h * tiles - h, tile_w * tiles - w
+    ph, pw = _cv2_pad_amounts(h, w, tiles)
+    tile_h = (h + ph) // tiles
+    tile_w = (w + pw) // tiles
     img = jnp.pad(src, ((0, ph), (0, pw)), mode="reflect") if (ph or pw) else src
     H, W = img.shape
     tile_area = tile_h * tile_w

@@ -52,16 +52,22 @@ def test_clahe_batch_matches_oracle():
     np.testing.assert_array_equal(out[1], clahe_u8_numpy(imgs[1]))
 
 
-def test_clahe_nondivisible_close():
-    # Known deviation (see ops/clahe.py docstring): non-divisible sizes may
-    # differ by a few LSB on a subset of pixels vs cv2 5.0.
-    src = rng.integers(0, 256, (200, 180), dtype=np.uint8)
+@pytest.mark.parametrize("shape", [
+    (200, 180),    # one dim divisible: cv2 pads it a FULL extra tile
+    (121, 160), (160, 97),
+    (155, 155), (37, 41),   # both non-divisible
+])
+def test_clahe_nondivisible_matches_cv2(shape):
+    """cv2 5.0's literal padding rule (ops/clahe._cv2_pad_amounts) makes
+    non-divisible geometry exact; the only residual is cv2's own
+    build-dependent f32 lerp ties: |diff| <= 1 on <0.5% of pixels (the same
+    residual exists at SOME divisible sizes — see ops/clahe.py)."""
+    src = rng.integers(0, 256, shape, dtype=np.uint8)
     ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(src)
     out = clahe_u8_numpy(src)
     d = np.abs(ref.astype(int) - out.astype(int))
-    assert d.max() <= 16
-    assert (d > 4).mean() < 0.05
-    assert d.mean() < 1.5
+    assert d.max() <= 1, (shape, d.max())
+    assert (d > 0).mean() < 0.01, (shape, (d > 0).mean())
 
 
 def test_preprocess_face_quality_shape_and_type():
