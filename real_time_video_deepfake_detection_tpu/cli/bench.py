@@ -527,8 +527,39 @@ def _phase(msg):
           flush=True)
 
 
+# Best headline observed so far, updated as phases complete — the watchdog
+# emits it if a device call hangs (observed once on the tunneled dev chip:
+# a remote session drop leaves the client blocked on a socket read forever,
+# which would otherwise hang the whole bench contract).
+_PARTIAL = {"fps": 0.0, "unit": ""}
+
+
+def _arm_watchdog(minutes=50.0):
+    import os
+    import sys
+    import threading
+    import time as _t
+
+    def fire():
+        _t.sleep(minutes * 60.0)
+        fps = _PARTIAL["fps"]
+        print(json.dumps({
+            "metric": "serving_frames_per_sec_per_chip",
+            "value": round(fps, 1),
+            "unit": (f"WATCHDOG: a device call hung past {minutes:.0f} min "
+                     "(tunnel session drop); best completed phase so far: "
+                     + (_PARTIAL["unit"] or "none completed")),
+            "vs_baseline": round(fps / 10.0, 2),
+        }))
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main():
     import jax
+    _arm_watchdog()
     try:
         # persistent compile cache: repeat bench runs skip the ~40 s/program
         # XLA compiles (same mechanism as tests/conftest.py)
@@ -538,6 +569,9 @@ def main():
         pass
     _phase("classify core fp32")
     core32 = bench_core()
+    _PARTIAL["fps"] = core32["fps"]
+    _PARTIAL["unit"] = (f"classify core fp32 {core32['fps']:.0f} fps, "
+                        f"tick p95 {core32['tick_ms_p95']:.1f} ms")
     # Faster serving configurations take the headline only behind guards:
     #   bf16      - probability drift vs fp32 < 1e-3 AND identical verdicts
     #   tick-sched- bit-identical outputs to the reference frame schedule
@@ -604,6 +638,9 @@ def main():
         _phase("detect-inclusive core")
         detect = bench_core_detect(bf16=use_bf16, tick_schedule=use_tick,
                                    ssd_bf16=use_ssd16)
+        _PARTIAL["fps"] = detect["fps"]
+        _PARTIAL["unit"] = (f"detect-inclusive core {detect['fps']:.0f} "
+                            f"fps, tick p50 {detect['tick_ms_p50']:.1f} ms")
         if use_ssd16:
             d_f32ssd = bench_core_detect(bf16=use_bf16,
                                          tick_schedule=use_tick)
