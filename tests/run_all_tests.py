@@ -19,7 +19,15 @@ PLAN = [
     ("test_pallas_kernels.py", "Pallas kernels vs jnp reference equivalence"),
     ("test_freq_features.py", "FFT+DCT features, GradCAM"),
     ("test_native_ingest.py", "C++ ingest: decode/resize bit-exactness"),
+    ("test_native_prep.py", "C++ one-call prep: detect+align+CLAHE vs python"),
     ("test_performance.py", "Latency budgets + resource bounds"),
+    ("test_haar.py", "From-scratch Viola-Jones vs cascade XML semantics"),
+    ("test_calibration.py", "Isotonic calibrator fit/apply"),
+    ("test_device_detect.py", "In-tick SSD detect + crop/align + MTCNN parity"),
+    ("test_load_64streams.py", "Full-occupancy engine: fairness, LRU, buckets"),
+    ("test_mtcnn_parity.py", "facenet-pytorch numeric oracle for the cascade"),
+    ("test_spmd_train.py", "Sharded train step on the virtual device mesh"),
+    ("test_weight_drill.py", "torch ckpt -> server -> JSON end-to-end drill"),
 ]
 
 
