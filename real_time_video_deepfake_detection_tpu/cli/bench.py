@@ -523,6 +523,7 @@ def _phase(msg):
     indistinguishable from a hung one."""
     import sys
     import time as _t
+    _PARTIAL["t"] = _t.time()
     print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
           flush=True)
 
@@ -531,23 +532,32 @@ def _phase(msg):
 # emits it if a device call hangs (observed once on the tunneled dev chip:
 # a remote session drop leaves the client blocked on a socket read forever,
 # which would otherwise hang the whole bench contract).
-_PARTIAL = {"fps": 0.0, "unit": ""}
+_PARTIAL = {"fps": 0.0, "unit": "", "t": 0.0}
 
 
-def _arm_watchdog(minutes=50.0):
+def _arm_watchdog(stall_minutes=25.0):
+    """Fire when NO phase marker has advanced for `stall_minutes` —
+    activity-based, so a slow-but-healthy cold run (every phase < ~10 min)
+    is never cut short, while a hung device call is bounded."""
     import os
     import sys
     import threading
     import time as _t
 
+    _PARTIAL["t"] = _t.time()
+
     def fire():
-        _t.sleep(minutes * 60.0)
+        while True:
+            _t.sleep(60.0)
+            if _t.time() - _PARTIAL["t"] > stall_minutes * 60.0:
+                break
         fps = _PARTIAL["fps"]
         print(json.dumps({
             "metric": "serving_frames_per_sec_per_chip",
             "value": round(fps, 1),
-            "unit": (f"WATCHDOG: a device call hung past {minutes:.0f} min "
-                     "(tunnel session drop); best completed phase so far: "
+            "unit": (f"WATCHDOG: no phase progress for {stall_minutes:.0f} "
+                     "min (device call hung / tunnel session drop); best "
+                     "completed phase: "
                      + (_PARTIAL["unit"] or "none completed")),
             "vs_baseline": round(fps / 10.0, 2),
         }))
