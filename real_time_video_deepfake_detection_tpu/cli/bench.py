@@ -535,10 +535,12 @@ def _phase(msg):
 _PARTIAL = {"fps": 0.0, "unit": "", "t": 0.0}
 
 
-def _arm_watchdog(stall_minutes=25.0):
+def _arm_watchdog(stall_minutes=35.0):
     """Fire when NO phase marker has advanced for `stall_minutes` —
-    activity-based, so a slow-but-healthy cold run (every phase < ~10 min)
-    is never cut short, while a hung device call is bounded."""
+    activity-based, so a slow-but-healthy cold run is never cut short
+    (the longest single phase, the e2e engine with its ~8 cold bucket
+    compiles over the tunnel, stays under ~25 min), while a hung device
+    call is bounded."""
     import os
     import sys
     import threading
