@@ -284,6 +284,12 @@ def main(argv=None):
                              "and --mtcnn-weights")
         cfg = _dc.replace(cfg, mtcnn_device=True)
     if args.device_detect:
+        if not args.batched:
+            raise SystemExit("--device-detect requires --batched (the fused "
+                             "detect tick lives in the multi-stream engine)")
+        if not args.ssd_weights:
+            raise SystemExit("--device-detect requires --ssd-weights "
+                             "(res10 caffemodel for the in-tick SSD)")
         # the reference applies CLAHE to every face crop
         # (deepfake_detection.py:357-370); in device-detect mode the crop
         # never touches the host, so CLAHE must run in the tick — without
