@@ -163,3 +163,16 @@ def test_resolution_sweep(client):
 def test_unknown_route_and_method(client):
     assert client.get("/nope").status_code == 404
     assert client.get("/analyze").status_code == 405
+
+
+def test_cli_flag_validation_exits():
+    """--device-detect / --mtcnn-device misconfigurations fail fast at the
+    CLI instead of surfacing deep in engine construction."""
+    from real_time_video_deepfake_detection_tpu.serving.server import main
+    for argv, want in [
+        (["--device-detect"], "--batched"),
+        (["--device-detect", "--batched"], "--ssd-weights"),
+        (["--mtcnn-device"], "--device-detect"),
+    ]:
+        with pytest.raises(SystemExit, match=want.replace("-", "[-]")):
+            main(argv)
