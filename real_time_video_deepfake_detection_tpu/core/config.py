@@ -192,22 +192,25 @@ class ServerConfig:
 class TrainConfig:
     """Training stack defaults (reference: train.py:1090-1138 CLI defaults)."""
 
-    epochs: int = 30
-    batch_size: int = 32
+    epochs: int = 20                   # (train.py:1097)
+    batch_size: int = 32               # (train.py:1098)
     grad_accum: int = 2
     lr: float = 3e-4
     backbone_lr_mult: float = 0.1      # differential LR (train.py:891-910)
-    weight_decay: float = 1e-4
+    weight_decay: float = 0.05         # (train.py:1101)
+    head_dropout: float = 0.5          # head Dropout base rate; the second and
+    #                                    third head dropouts are 0.7x / 0.5x of
+    #                                    it (model.py:51-59, train.py:1102)
     label_smoothing: float = 0.1       # FocalLoss ls (train.py:360-392)
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     ema_decay: float = 0.999           # (train.py:398-436)
-    mixup_alpha: float = 0.2
-    cutmix_alpha: float = 1.0
+    mixup_alpha: float = 0.3           # (train.py:1109)
+    cutmix_alpha: float = 0.3          # (train.py:1111)
     mixup_prob: float = 0.5            # 50% of batches augmented (train.py:546-629)
     clip_norm: float = 1.0
     freeze_frac: float = 0.6           # freeze stem + first 60% of blocks (:863-876)
-    early_stop_patience: int = 7
+    early_stop_patience: int = 5       # (train.py:1123)
     image_size: int = 224
     seed: int = 42
     # bf16 forward/backward with f32 master params — the TPU analogue of the

@@ -100,11 +100,14 @@ def forward(params, x, spec, *, train: bool = False, rng=None):
     raise TypeError(f"not a backbone spec: {type(spec)}")
 
 
-def forward_train(params, x, spec, rng) -> Tuple[jax.Array, list]:
+def forward_train(params, x, spec, rng,
+                  dropout: float = 0.5) -> Tuple[jax.Array, list]:
     """Training forward: (logits, flat BN-stats list) — [] for BN-free
-    backbones (ViT)."""
+    backbones (ViT). `dropout` is the custom head's base rate
+    (reference model.py:51-59 / train.py --dropout); ViT and Xception use
+    plain linear heads with no dropout, so it is ignored for them."""
     if isinstance(spec, EfficientNetSpec):
-        return _eff.forward_train(params, x, spec, rng)
+        return _eff.forward_train(params, x, spec, rng, dropout=dropout)
     if isinstance(spec, ViTSpec):
         return _vit.forward(params, x, spec), []
     if isinstance(spec, XceptionSpec):

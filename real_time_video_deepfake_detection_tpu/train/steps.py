@@ -116,15 +116,16 @@ def _cast_f32(tree):
         if hasattr(v, "dtype") and v.dtype == jnp.bfloat16 else v, tree)
 
 
-def _forward_mixed(params, x, spec, rng, bf16: bool):
+def _forward_mixed(params, x, spec, rng, bf16: bool, dropout: float = 0.5):
     """forward_train, optionally with bf16 compute (the AMP analogue:
     f32 master params cast at the jaxpr boundary — bf16 shares fp32's
     exponent range so no GradScaler is needed; grads flow back f32 through
     the cast). Logits and BN stats are returned in f32 either way."""
     if not bf16:
-        return forward_train(params, x, spec, rng)
+        return forward_train(params, x, spec, rng, dropout=dropout)
     logits, bn_stats = forward_train(_cast_bf16(params),
-                                     x.astype(jnp.bfloat16), spec, rng)
+                                     x.astype(jnp.bfloat16), spec, rng,
+                                     dropout=dropout)
     return logits.astype(jnp.float32), _cast_f32(bn_stats)
 
 
@@ -137,7 +138,7 @@ def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
 
     def loss_fn(params):
         logits, bn_stats = _forward_mixed(params, images, spec, step_rng,
-                                          cfg.bf16_compute)
+                                          cfg.bf16_compute, cfg.head_dropout)
         loss = focal_loss_with_smoothing(
             logits[:, 0], labels, cfg.focal_gamma, cfg.focal_alpha,
             cfg.label_smoothing)
@@ -184,7 +185,7 @@ def fused_train_step(state: TrainState, imgs_u8: jax.Array, labels: jax.Array,
 
     def loss_fn(params):
         logits, bn_stats = _forward_mixed(params, x, spec, k_drop,
-                                          cfg.bf16_compute)
+                                          cfg.bf16_compute, cfg.head_dropout)
         l = logits[:, 0]
         loss_a = focal_loss_with_smoothing(
             l, y_a, cfg.focal_gamma, cfg.focal_alpha, cfg.label_smoothing)

@@ -120,7 +120,13 @@ def train(args) -> dict:
     cfg = TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         image_size=args.image_size, seed=args.seed,
-        early_stop_patience=args.patience, bf16_compute=args.bf16)
+        early_stop_patience=args.patience, bf16_compute=args.bf16,
+        weight_decay=args.weight_decay, head_dropout=args.dropout,
+        label_smoothing=args.label_smoothing,
+        mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
+        focal_gamma=args.focal_gamma, focal_alpha=args.focal_alpha,
+        ema_decay=args.ema_decay, backbone_lr_mult=args.backbone_lr_mult,
+        freeze_frac=args.freeze_frac, clip_norm=args.clip_norm)
     # Backbone swap (config 5): b0..b7 / vit_s16|b16|l16 / xception behind
     # the same trainer interface (models/backbones.py dispatch).
     spec = backbones.make(args.backbone, image_size=cfg.image_size)
@@ -135,10 +141,12 @@ def train(args) -> dict:
     val_ds = DeepfakeDataset(args.dataset, "val", cfg.image_size)
     print(f"  [train] {len(train_ds)} samples {tuple(train_ds.class_counts)}; "
           f"[val] {len(val_ds)} samples")
+    n_workers = getattr(args, "num_workers", 8)
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
-                               seed=cfg.seed, balanced=True)
+                               seed=cfg.seed, balanced=True,
+                               num_workers=n_workers)
     val_loader = BatchLoader(val_ds, cfg.batch_size, shuffle=False,
-                             drop_last=False)
+                             drop_last=False, num_workers=n_workers)
 
     steps_per_epoch = max(len(train_loader), 1)
     total_steps = steps_per_epoch * cfg.epochs
@@ -248,19 +256,43 @@ def train(args) -> dict:
 
 
 def main(argv=None):
+    # CLI defaults single-sourced from TrainConfig, which carries the
+    # reference's train.py:1090-1138 defaults with file:line citations.
+    d = TrainConfig()
     p = argparse.ArgumentParser(description="Train the deepfake classifier (TPU)")
     p.add_argument("--dataset", required=True,
                    help="dir with train/{real,fake} and val/{real,fake}")
-    p.add_argument("--epochs", type=int, default=30)
-    p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--lr", type=float, default=3e-4)
-    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--epochs", type=int, default=d.epochs)
+    p.add_argument("--batch-size", type=int, default=d.batch_size)
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--image-size", type=int, default=d.image_size)
     from ..models.backbones import backbone_names
     p.add_argument("--backbone", default="b0", choices=backbone_names(),
                    help="classifier backbone (config 5 swap): EfficientNet "
                         "b0..b7, vit_s16/b16/l16, or xception")
-    p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--patience", type=int, default=7)
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--patience", type=int, default=d.early_stop_patience)
+    # hyperparameter tunables (reference train.py:1099-1125 flag surface)
+    p.add_argument("--weight-decay", type=float, default=d.weight_decay)
+    p.add_argument("--dropout", type=float, default=d.head_dropout,
+                   help="classifier-head base dropout; second/third head "
+                        "dropouts are 0.7x/0.5x of it (model.py:51-59)")
+    p.add_argument("--label-smoothing", type=float, default=d.label_smoothing)
+    p.add_argument("--mixup-alpha", type=float, default=d.mixup_alpha)
+    p.add_argument("--cutmix-alpha", type=float, default=d.cutmix_alpha)
+    p.add_argument("--focal-gamma", type=float, default=d.focal_gamma)
+    p.add_argument("--focal-alpha", type=float, default=d.focal_alpha)
+    p.add_argument("--ema-decay", type=float, default=d.ema_decay)
+    p.add_argument("--backbone-lr-mult", type=float, default=d.backbone_lr_mult,
+                   help="differential LR: backbone groups train at this "
+                        "multiple of --lr (train.py:891-910)")
+    p.add_argument("--freeze-frac", type=float, default=d.freeze_frac,
+                   help="freeze the stem + this fraction of early blocks "
+                        "(train.py:863-876)")
+    p.add_argument("--clip-norm", type=float, default=d.clip_norm)
+    p.add_argument("--num-workers", type=int, default=8,
+                   help="decode/prefetch threads in the batch loader "
+                        "(train.py --num_workers analogue)")
     p.add_argument("--fresh", action="store_true", help="ignore resume checkpoint")
     p.add_argument("--warm-start", default=None,
                    help="best_model.pth (torch) or .npz to initialize from")

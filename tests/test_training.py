@@ -362,3 +362,73 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
     st2, _, _ = load_checkpoint_orbax(d, abstract_state=abstract)
     np.testing.assert_array_equal(np.asarray(st2["w"]), np.asarray(state["w"]))
+
+
+def test_trainer_cli_hyperparameter_flags_reach_config(monkeypatch):
+    """Reference train.py:1090-1138 exposes every training hyperparameter as
+    a CLI flag; the TPU trainer mirrors that surface. Parse a full flag set
+    through the real argparse wiring and assert each lands in TrainConfig."""
+    from real_time_video_deepfake_detection_tpu.train import trainer
+
+    captured = {}
+
+    def fake_train(args):
+        captured["cfg"] = TrainConfig(
+            epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+            image_size=args.image_size, seed=args.seed,
+            early_stop_patience=args.patience, bf16_compute=args.bf16,
+            weight_decay=args.weight_decay, head_dropout=args.dropout,
+            label_smoothing=args.label_smoothing,
+            mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
+            focal_gamma=args.focal_gamma, focal_alpha=args.focal_alpha,
+            ema_decay=args.ema_decay,
+            backbone_lr_mult=args.backbone_lr_mult,
+            freeze_frac=args.freeze_frac, clip_norm=args.clip_norm)
+        captured["args"] = args
+        return {}
+
+    monkeypatch.setattr(trainer, "train", fake_train)
+    trainer.main([
+        "--dataset", "x", "--weight-decay", "0.01", "--dropout", "0.4",
+        "--label-smoothing", "0.05", "--mixup-alpha", "0.7",
+        "--cutmix-alpha", "0.9", "--focal-gamma", "3.0",
+        "--focal-alpha", "0.5", "--ema-decay", "0.99",
+        "--backbone-lr-mult", "0.2", "--freeze-frac", "0.25",
+        "--clip-norm", "2.0", "--patience", "3", "--epochs", "7",
+    ])
+    cfg = captured["cfg"]
+    assert (cfg.weight_decay, cfg.head_dropout, cfg.label_smoothing) == \
+        (0.01, 0.4, 0.05)
+    assert (cfg.mixup_alpha, cfg.cutmix_alpha) == (0.7, 0.9)
+    assert (cfg.focal_gamma, cfg.focal_alpha, cfg.ema_decay) == (3.0, 0.5, 0.99)
+    assert (cfg.backbone_lr_mult, cfg.freeze_frac, cfg.clip_norm) == \
+        (0.2, 0.25, 2.0)
+    assert (cfg.early_stop_patience, cfg.epochs) == (3, 7)
+
+
+def test_trainer_defaults_match_reference_cli():
+    """TrainConfig's defaults are the reference CLI defaults
+    (train.py:1097-1123); pin them so drift is caught."""
+    d = TrainConfig()
+    assert (d.epochs, d.batch_size, d.lr) == (20, 32, 3e-4)
+    assert (d.weight_decay, d.head_dropout) == (0.05, 0.5)
+    assert (d.label_smoothing, d.mixup_alpha, d.cutmix_alpha) == (0.1, 0.3, 0.3)
+    assert (d.focal_gamma, d.focal_alpha) == (2.0, 0.25)
+    assert (d.ema_decay, d.early_stop_patience) == (0.999, 5)
+
+
+def test_head_dropout_threads_through_training_forward():
+    """cfg.head_dropout reaches the EfficientNet custom head: with the same
+    RNG, dropout=0 is deterministic and differs from a high rate; ViT's
+    linear head ignores it (no dropout to apply)."""
+    from real_time_video_deepfake_detection_tpu.models import backbones
+
+    spec = EfficientNetSpec.make("b0")
+    params = init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    k = jax.random.PRNGKey(3)
+    l0a, _ = backbones.forward_train(params, x, spec, k, dropout=0.0)
+    l0b, _ = backbones.forward_train(params, x, spec, k, dropout=0.0)
+    lhi, _ = backbones.forward_train(params, x, spec, k, dropout=0.9)
+    np.testing.assert_array_equal(np.asarray(l0a), np.asarray(l0b))
+    assert not np.allclose(np.asarray(l0a), np.asarray(lhi))
