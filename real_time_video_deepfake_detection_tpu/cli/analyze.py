@@ -18,15 +18,35 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0, help="0 = all")
     p.add_argument("--json", dest="json_out", default=None,
                    help="write the per-frame results to this JSON file")
+    p.add_argument("--gradcam", action="store_true",
+                   help="blend a GradCAM heatmap over each detected face in "
+                        "the annotated output (the reference imports "
+                        "pytorch_grad_cam but ships it permanently disabled, "
+                        "deepfake_detection.py:543-544; here it works — "
+                        "models/gradcam.py)")
     args = p.parse_args(argv)
 
+    import numpy as np
     import cv2
     from ..core.config import DetectorConfig
     from ..pipeline.detector import DeepfakeDetector
 
     det = DeepfakeDetector(
         DetectorConfig().with_threshold(args.threshold),
-        weights_path=args.weights)
+        weights_path=args.weights, enable_gradcam=args.gradcam)
+
+    def blend_gradcams(annotated):
+        """JET-colormap blend of each face's (224,224) [0,1] heatmap over
+        its bbox, alpha 0.4 — the standard CAM presentation."""
+        for (x, y, w, h), cam in det.last_gradcams:
+            hm = cv2.applyColorMap(
+                (np.clip(cam, 0.0, 1.0) * 255).astype(np.uint8),
+                cv2.COLORMAP_JET)
+            hm = cv2.resize(hm, (w, h), interpolation=cv2.INTER_LINEAR)
+            roi = annotated[y:y + h, x:x + w]
+            annotated[y:y + h, x:x + w] = cv2.addWeighted(
+                roi, 0.6, hm[:roi.shape[0], :roi.shape[1]], 0.4, 0.0)
+        return annotated
 
     src = int(args.input) if args.input.isdigit() else args.input
     cap = cv2.VideoCapture(src)
@@ -41,6 +61,8 @@ def main(argv=None):
         if not ret:
             break
         annotated, _, _, data = det.predict(frame)
+        if args.gradcam and det.last_gradcams:
+            annotated = blend_gradcams(annotated)
         results.append({k: data[k] for k in
                         ("frame_count", "faces_detected", "confidence_level",
                          "temporal_average", "analysis_mode")})

@@ -102,6 +102,7 @@ class DeepfakeDetector:
         self.cfg = cfg
         self.spec = spec if spec is not None else backbones.make("b0")
         self.enable_gradcam = enable_gradcam
+        self.last_gradcams = []   # (bbox, heatmap) pairs from the last predict()
         self.use_tta = cfg.use_tta if use_tta is None else use_tta
         self.num_tta_augmentations = num_tta_augmentations
         self.detection_threshold = cfg.detection_threshold
@@ -323,13 +324,20 @@ class DeepfakeDetector:
         face_results = []
         confidence_level = "UNCERTAIN"
         frame = frame_bgr.copy()
+        # per-face (bbox, heatmap) pairs from the last predict() call when
+        # enable_gradcam=True — consumers (cli/analyze.py --gradcam) blend
+        # them over the annotated frame. The reference ships GradCAM
+        # permanently disabled (deepfake_detection.py:543-544); here it works.
+        self.last_gradcams = []
 
         if len(faces) > 0:
             for (x, y, w, h) in faces:
                 face_region = frame_bgr[y:y + h, x:x + w]
-                fake_prob, _, _ = self.analyze_face(face_region)
+                fake_prob, _, cam = self.analyze_face(face_region)
                 if fake_prob is None:
                     continue
+                if cam is not None:
+                    self.last_gradcams.append(((x, y, w, h), cam))
                 if self.cfg.fuse_forensics:
                     vote_prob = (self.cfg.face_weight * fake_prob
                                  + self.cfg.forensic_weight * frame_forensic["fake_probability"])

@@ -166,6 +166,29 @@ def test_analyze_face_gradcam_enabled():
     assert float(cam.min()) >= 0.0 and float(cam.max()) <= 1.0
 
 
+def test_predict_collects_gradcams_per_face():
+    """predict() exposes each face's heatmap as (bbox, cam) pairs in
+    last_gradcams — what `rtvdd-analyze --gradcam` blends into the
+    annotated output — and clears them on the next call."""
+    from real_time_video_deepfake_detection_tpu.pipeline.detector import (
+        DeepfakeDetector,
+    )
+    det = DeepfakeDetector(DetectorConfig(), enable_gradcam=True)
+    assert det.last_gradcams == []
+    frame = np.full((240, 320, 3), 70, np.uint8)
+    cv2.ellipse(frame, (160, 120), (50, 70), 0, 0, 360, (120, 140, 180), -1)
+    _, _, _, data = det.predict(frame)
+    if data["faces_detected"] and data["face_results"]:
+        assert len(det.last_gradcams) == len(data["face_results"])
+        (x, y, w, h), cam = det.last_gradcams[0]
+        assert cam.shape == (224, 224)
+        assert (w, h) == (data["face_results"][0]["bbox"]["w"],
+                          data["face_results"][0]["bbox"]["h"])
+    # no-face frame clears the collection
+    det.predict(np.zeros((240, 320, 3), np.uint8))
+    assert det.last_gradcams == []
+
+
 def test_small_face_heuristic(detector):
     from real_time_video_deepfake_detection_tpu.pipeline.classify import (
         apply_small_face_heuristic,
