@@ -32,15 +32,32 @@ class Request:
             self._parse_multipart()
 
     def _parse_multipart(self) -> None:
+        """RFC 2046 §5.1.1 parsing with exact payload bytes: each part ends
+        at the CRLF that BELONGS TO the next boundary line, so payloads whose
+        own trailing bytes are \\r or \\n survive intact (a naive
+        strip(b"\\r\\n") corrupts e.g. BMP pixel data ending in 0x0A/0x0D).
+        Bare-LF generators are tolerated like werkzeug does."""
         m = re.search(r'boundary="?([^";,]+)"?', self.content_type)
         if not m:
             return
-        boundary = m.group(1).encode()
-        delim = b"--" + boundary
-        for part in self.body.split(delim):
-            part = part.strip(b"\r\n")
-            if not part or part == b"--":
-                continue
+        delim = b"--" + m.group(1).encode()
+        body = self.body
+        pos = body.find(delim)
+        while pos != -1:
+            pos += len(delim)
+            if body[pos:pos + 2] == b"--":   # closing delimiter
+                break
+            if body[pos:pos + 2] == b"\r\n":
+                pos += 2
+            elif body[pos:pos + 1] == b"\n":
+                pos += 1
+            nxt = body.find(b"\r\n" + delim, pos)
+            if nxt == -1:
+                nxt = body.find(b"\n" + delim, pos)
+            if nxt == -1:
+                break
+            part = body[pos:nxt]
+            pos = body.find(delim, nxt)
             if b"\r\n\r\n" in part:
                 head, _, payload = part.partition(b"\r\n\r\n")
             elif b"\n\n" in part:

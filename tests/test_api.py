@@ -176,3 +176,58 @@ def test_cli_flag_validation_exits():
     ]:
         with pytest.raises(SystemExit, match=want.replace("-", "[-]")):
             main(argv)
+
+
+def test_multipart_payload_bytes_exact():
+    """The multipart parser must hand back file payloads byte-for-byte:
+    payloads whose OWN trailing bytes are \r / \n previously lost them to a
+    strip(b"\r\n") (corrupting e.g. BMPs whose last pixel bytes are
+    0x0A/0x0D). RFC 2046: a part ends at the CRLF belonging to the next
+    boundary line — nothing else is protocol."""
+    from real_time_video_deepfake_detection_tpu.serving.wsgi import Request
+
+    payloads = [b"\r\nstarts and ends with newlines\r\n", b"x\n", b"\r",
+                b"\n\n\n", b"plain", b"\x89PNG\r\n\x1a\nDATA\n"]
+    for i, payload in enumerate(payloads):
+        boundary = "bnd417"
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="frame"; filename="f.bin"\r\n'
+            "Content-Type: application/octet-stream\r\n\r\n"
+        ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+        environ = {
+            "REQUEST_METHOD": "POST", "PATH_INFO": "/analyze",
+            "CONTENT_TYPE": f"multipart/form-data; boundary={boundary}",
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+        }
+        req = Request(environ)
+        assert req.files["frame"] == payload, (i, payload, req.files["frame"])
+
+    # bare-LF generator (tolerated, like werkzeug)
+    boundary = "bnd417"
+    payload = b"tail\n"
+    body = (
+        f"--{boundary}\n"
+        'Content-Disposition: form-data; name="frame"; filename="f.bin"\n\n'
+    ).encode() + payload + f"\n--{boundary}--\n".encode()
+    req = Request({
+        "REQUEST_METHOD": "POST", "PATH_INFO": "/analyze",
+        "CONTENT_TYPE": f"multipart/form-data; boundary={boundary}",
+        "CONTENT_LENGTH": str(len(body)), "wsgi.input": io.BytesIO(body),
+    })
+    assert req.files["frame"] == payload
+
+
+def test_bmp_with_trailing_newline_bytes_accepted(client):
+    """End-to-end: a BMP whose final pixel bytes are newline-valued decodes
+    and analyzes fine (reference accepts BMP, test_reliability.py:162-192)."""
+    frame = np.full((16, 16, 3), 77, np.uint8)
+    frame[0, -1] = (13, 10, 13)   # BMP rows are bottom-up: row 0 is LAST
+    ok, enc = cv2.imencode(".bmp", frame)
+    assert ok
+    raw = enc.tobytes()
+    assert raw.endswith((b"\n", b"\r"))  # the regression-triggering shape
+    r = client.post("/analyze", data={"frame": (io.BytesIO(raw), "f.bmp")})
+    assert r.status_code == 200
+    assert r.get_json()["success"] is True
