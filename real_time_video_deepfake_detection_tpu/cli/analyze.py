@@ -1,6 +1,13 @@
 """Offline/webcam analysis CLI — the library `predict` loop (reference
 deepfake_detection.py:588-686 usage pattern) over a video file or camera,
-writing an annotated output video and a JSON verdict summary."""
+writing an annotated output video and a JSON verdict summary.
+
+Given MULTIPLE video paths, switches to the batched MultiStreamEngine:
+every video is a stream slot and all of them classify in the same device
+ticks (the serving hot path, offline) — per-video verdicts come out in one
+JSON summary. The reference has no offline batch mode; this is the
+multi-stream upgrade applied to files instead of HTTP clients.
+"""
 
 from __future__ import annotations
 
@@ -9,9 +16,94 @@ import json
 import sys
 
 
+def _load_params(weights, spec):
+    """--weights loading shared with serving/server.py: reference .pth via
+    the torch converter, else a trainer .npz pytree."""
+    if not weights:
+        return None
+    if weights.endswith(".pth"):
+        from ..models.efficientnet import EfficientNetSpec
+        if not isinstance(spec, EfficientNetSpec):
+            raise SystemExit("--weights *.pth is the reference torch "
+                             "EfficientNet format; save other backbones "
+                             "as .npz via the trainer")
+        from ..utils.torch_convert import load_checkpoint as load_torch
+        params, _ = load_torch(weights, spec)
+        return params
+    from ..train.checkpoint import load_checkpoint as load_tree
+    params, _, _ = load_tree(weights, restore_host_rng=False)
+    return params
+
+
+def _analyze_multi(args) -> None:
+    """N videos through the batched engine: one reader thread per video
+    feeds engine.analyze(frame, stream_id=path); frames from different
+    videos share device ticks exactly like concurrent HTTP streams."""
+    import threading
+
+    import cv2
+    from ..core.config import DetectorConfig, ServerConfig
+    from ..models import backbones
+    from ..serving.multi import MultiStreamEngine
+
+    if args.output:
+        sys.exit("--output is single-video only (batch mode writes no "
+                 "annotated video); drop it or pass one input")
+
+    spec = backbones.make("b0")
+    cfg = DetectorConfig().with_threshold(args.threshold)
+    scfg = ServerConfig(detection_threshold=args.threshold,
+                        max_streams=max(len(args.input), 2))
+    engine = MultiStreamEngine(cfg, scfg, params=_load_params(args.weights, spec),
+                               spec=spec)
+
+    summaries = [None] * len(args.input)
+
+    def run_one(i: int, path: str) -> None:
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            summaries[i] = {"input": path, "error": "cannot open"}
+            return
+        n, last = 0, None
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            last = engine.analyze(frame, stream_id=path)
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+        cap.release()
+        summaries[i] = {
+            "input": path, "frames": n,
+            "final_verdict": last["confidence_level"] if last else "UNCERTAIN",
+            "temporal_average": last["temporal_average"] if last else 0.0,
+            "fake_probability": last["fake_probability"] if last else 0.0,
+        }
+
+    threads = [threading.Thread(target=run_one, args=(i, path), daemon=True)
+               for i, path in enumerate(args.input)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    engine.shutdown()
+
+    out = {"videos": summaries,
+           "engine_ticks": engine.metrics["ticks"],
+           "frames_total": engine.metrics["frames_total"]}
+    print(json.dumps(out, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=2)
+
+
 def main(argv=None):
-    p = argparse.ArgumentParser(description="Analyze a video for deepfakes")
-    p.add_argument("input", help="video path, or an integer camera index")
+    p = argparse.ArgumentParser(description="Analyze video(s) for deepfakes")
+    p.add_argument("input", nargs="+",
+                   help="video path(s), or an integer camera index; more "
+                        "than one path runs them batched through the "
+                        "multi-stream engine")
     p.add_argument("--output", default=None, help="annotated output video path")
     p.add_argument("--weights", default=None, help="best_model.pth / .npz")
     p.add_argument("--threshold", type=float, default=0.5)
@@ -25,6 +117,9 @@ def main(argv=None):
                         "deepfake_detection.py:543-544; here it works — "
                         "models/gradcam.py)")
     args = p.parse_args(argv)
+
+    if len(args.input) > 1:
+        return _analyze_multi(args)
 
     import numpy as np
     import cv2
@@ -48,10 +143,11 @@ def main(argv=None):
                 roi, 0.6, hm[:roi.shape[0], :roi.shape[1]], 0.4, 0.0)
         return annotated
 
-    src = int(args.input) if args.input.isdigit() else args.input
+    inp = args.input[0]
+    src = int(inp) if inp.isdigit() else inp
     cap = cv2.VideoCapture(src)
     if not cap.isOpened():
-        sys.exit(f"cannot open {args.input}")
+        sys.exit(f"cannot open {inp}")
 
     writer = None
     results = []

@@ -366,3 +366,47 @@ def test_forensic_tick_schedule_matches_frame_schedule_when_synchronized():
     finally:
         e_frame.shutdown()
         e_tick.shutdown()
+
+
+@pytest.mark.slow
+def test_analyze_cli_multi_video_batched(tmp_path):
+    """`rtvdd-analyze a.mp4 b.mp4 c.mp4` runs the videos through the batched
+    engine: frames from different files share device ticks, every video gets
+    its own stream verdict, and frames_total/ticks prove real batching."""
+    import contextlib
+    import json as _json
+
+    from real_time_video_deepfake_detection_tpu.cli import analyze
+
+    rng_l = np.random.default_rng(9)
+    paths = []
+    for v in range(3):
+        p = str(tmp_path / f"v{v}.mp4")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 5, (320, 240))
+        for _ in range(5):
+            frame = np.full((240, 320, 3), 60 + 40 * v, np.uint8)
+            frame += rng_l.integers(0, 20, frame.shape, dtype=np.uint8)
+            w.write(frame)
+        w.release()
+        paths.append(p)
+
+    js = str(tmp_path / "out.json")
+    with contextlib.redirect_stdout(io.StringIO()):
+        analyze.main(paths + ["--json", js, "--max-frames", "4"])
+    r = _json.load(open(js))
+    assert len(r["videos"]) == 3
+    for v in r["videos"]:
+        assert v["frames"] == 4
+        assert v["final_verdict"] in ("REAL", "FAKE", "UNCERTAIN")
+    assert r["frames_total"] == 12
+    # 3 synchronized readers -> far fewer ticks than frames (true batching)
+    assert r["engine_ticks"] <= 8
+
+
+def test_analyze_cli_multi_rejects_output(tmp_path):
+    """--output writes ONE annotated video; with several inputs it must
+    fail fast instead of silently dropping annotation."""
+    from real_time_video_deepfake_detection_tpu.cli import analyze
+
+    with pytest.raises(SystemExit):
+        analyze.main(["a.mp4", "b.mp4", "--output", str(tmp_path / "o.mp4")])
