@@ -10,7 +10,7 @@ of each default.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,6 +210,15 @@ class TrainConfig:
     mixup_prob: float = 0.5            # 50% of batches augmented (train.py:546-629)
     clip_norm: float = 1.0
     freeze_frac: float = 0.6           # freeze stem + first 60% of blocks (:863-876)
+    # BN running-stat momentum override. None = each donor architecture's
+    # default (efficientnet_pytorch/keras backbone 0.01, torch BatchNorm1d
+    # head 0.1) — correct when warm-starting from pretrained stats, as the
+    # reference always does (model.py:36 pretrained=True). COLD-start
+    # training should raise it (0.1-0.2): at 0.01 the stats need ~500 steps
+    # to leave their (0,1) init, and a random-init EfficientNet evaluated
+    # with init stats collapses to ~0 features (the SE/swish shrink
+    # compounds with nothing renormalizing it).
+    bn_momentum: Optional[float] = None
     early_stop_patience: int = 5       # (train.py:1123)
     image_size: int = 224
     seed: int = 42

@@ -100,18 +100,22 @@ def forward(params, x, spec, *, train: bool = False, rng=None):
     raise TypeError(f"not a backbone spec: {type(spec)}")
 
 
-def forward_train(params, x, spec, rng,
-                  dropout: float = 0.5) -> Tuple[jax.Array, list]:
+def forward_train(params, x, spec, rng, dropout: float = 0.5,
+                  bn_momentum=None) -> Tuple[jax.Array, list]:
     """Training forward: (logits, flat BN-stats list) — [] for BN-free
     backbones (ViT). `dropout` is the custom head's base rate
     (reference model.py:51-59 / train.py --dropout); ViT and Xception use
-    plain linear heads with no dropout, so it is ignored for them."""
+    plain linear heads with no dropout, so it is ignored for them.
+    `bn_momentum=None` keeps each architecture's donor default (0.01
+    backbone / 0.1 torch BatchNorm1d head); see TrainConfig.bn_momentum."""
     if isinstance(spec, EfficientNetSpec):
-        return _eff.forward_train(params, x, spec, rng, dropout=dropout)
+        return _eff.forward_train(params, x, spec, rng, dropout=dropout,
+                                  bn_momentum=bn_momentum)
     if isinstance(spec, ViTSpec):
         return _vit.forward(params, x, spec), []
     if isinstance(spec, XceptionSpec):
-        return _xcp.forward_train(params, x, spec, rng)
+        return _xcp.forward_train(params, x, spec, rng,
+                                  bn_momentum=bn_momentum)
     raise TypeError(f"not a backbone spec: {type(spec)}")
 
 

@@ -245,12 +245,16 @@ def _mbconv(x, blk, spec_b: BlockSpec, *, train, rng, drop_rate, bn_apply):
 
 
 def extract_features(params, x, spec: EfficientNetSpec, *, train=False,
-                     rng=None, batch_stats_out=None):
+                     rng=None, batch_stats_out=None, bn_momentum=None):
     """Backbone up to the 1280-d pooled feature vector
-    (reference model.py:74-88)."""
+    (reference model.py:74-88). `bn_momentum=None` keeps
+    efficientnet_pytorch's 0.01; cold-start training (no pretrained
+    running stats) wants a larger value — see TrainConfig.bn_momentum."""
     if train and batch_stats_out is not None:
+        mom = 0.01 if bn_momentum is None else bn_momentum
+
         def bn_apply(v, bn, eps, _out=batch_stats_out):
-            y, new = batch_norm_train(v, bn, eps)
+            y, new = batch_norm_train(v, bn, eps, momentum=mom)
             _out.append(new)
             return y
     else:
@@ -270,11 +274,15 @@ def extract_features(params, x, spec: EfficientNetSpec, *, train=False,
 
 
 def apply_head(params, feats, *, train=False, rng=None, dropout=0.5,
-               batch_stats_out=None):
+               batch_stats_out=None, bn_momentum=None):
     """The reference's custom classifier head (model.py:50-61)."""
     if train and batch_stats_out is not None:
+        # nn.BatchNorm1d default momentum is 0.1 (the backbone's 0.01 is
+        # efficientnet_pytorch's batch_norm_momentum=0.99 convention)
+        mom = 0.1 if bn_momentum is None else bn_momentum
+
         def bn_apply(v, bn, eps, _out=batch_stats_out):
-            y, new = batch_norm_train(v, bn, eps)
+            y, new = batch_norm_train(v, bn, eps, momentum=mom)
             _out.append(new)
             return y
     else:
@@ -342,13 +350,14 @@ def update_bn_stats(params, spec: EfficientNetSpec, stats: List[dict]):
     return out
 
 
-def forward_train(params, x, spec: EfficientNetSpec, rng, dropout=0.5):
+def forward_train(params, x, spec: EfficientNetSpec, rng, dropout=0.5,
+                  bn_momentum=None):
     """Training forward that also returns updated batch-norm statistics as a
     flat list in traversal order (consumed by train/ to rebuild the tree)."""
     stats: List[dict] = []
     r1, r2 = jax.random.split(rng)
     feats = extract_features(params, x, spec, train=True, rng=r1,
-                             batch_stats_out=stats)
+                             batch_stats_out=stats, bn_momentum=bn_momentum)
     logits = apply_head(params, feats, train=True, rng=r2, dropout=dropout,
-                        batch_stats_out=stats)
+                        batch_stats_out=stats, bn_momentum=bn_momentum)
     return logits, stats

@@ -116,17 +116,20 @@ def _maxpool3s2(x):
 
 def extract_features(params, x: jax.Array,
                      spec: XceptionSpec = XceptionSpec(), *, train=False,
-                     batch_stats_out=None) -> jax.Array:
+                     batch_stats_out=None, bn_momentum=None) -> jax.Array:
     """(B, H, W, 3) normalized NHWC -> (B, 2048) pooled features.
 
     train=True with batch_stats_out: BN uses batch statistics and appends
     each site's updated running stats (forward execution order) — same
-    contract as models/efficientnet.extract_features."""
+    contract as models/efficientnet.extract_features. bn_momentum=None is
+    keras BatchNormalization's default (momentum 0.99 == torch 0.01); see
+    TrainConfig.bn_momentum for the cold-start override."""
     if train and batch_stats_out is not None:
         from .efficientnet import batch_norm_train
+        mom = 0.01 if bn_momentum is None else bn_momentum
 
         def bn_apply(v, bn, eps, _out=batch_stats_out):
-            y, new = batch_norm_train(v, bn, eps)
+            y, new = batch_norm_train(v, bn, eps, momentum=mom)
             _out.append(new)
             return y
     else:
@@ -172,12 +175,13 @@ def forward(params, x: jax.Array,
     return feats @ params["head"]["w"] + params["head"]["b"]
 
 
-def forward_train(params, x: jax.Array, spec: XceptionSpec, rng=None):
+def forward_train(params, x: jax.Array, spec: XceptionSpec, rng=None,
+                  bn_momentum=None):
     """Training forward: batch-stat BN, stats returned as a flat list in
     forward order (consumed by update_bn_stats). Xception has no dropout."""
     stats: List[dict] = []
     feats = extract_features(params, x, spec, train=True,
-                             batch_stats_out=stats)
+                             batch_stats_out=stats, bn_momentum=bn_momentum)
     logits = feats @ params["head"]["w"] + params["head"]["b"]
     return logits, stats
 

@@ -43,6 +43,20 @@ def _is_bn_stat(path) -> bool:
     return any(getattr(p, "key", None) in ("mean", "var") for p in path)
 
 
+def _ema_update(ema_params, new_params, decay):
+    """Reference EMA semantics (train.py:398-436): the shadow tracks only
+    `requires_grad` PARAMETERS; BN running mean/var are buffers and stay
+    LIVE — apply_shadow swaps weights for evaluation but the current
+    running statistics are used as-is. EMA-lagged statistics would
+    mis-normalize every layer early in training (random-init EfficientNet
+    eval collapses to ~0 features until the stats converge)."""
+    d = decay
+    ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                       ema_params, new_params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, e, p: p if _is_bn_stat(path) else e, ema, new_params)
+
+
 def make_optimizer(cfg: TrainConfig, total_steps: int,
                    n_blocks: Optional[int] = None,
                    spec=None) -> optax.GradientTransformation:
@@ -116,16 +130,19 @@ def _cast_f32(tree):
         if hasattr(v, "dtype") and v.dtype == jnp.bfloat16 else v, tree)
 
 
-def _forward_mixed(params, x, spec, rng, bf16: bool, dropout: float = 0.5):
+def _forward_mixed(params, x, spec, rng, bf16: bool, dropout: float = 0.5,
+                   bn_momentum=None):
     """forward_train, optionally with bf16 compute (the AMP analogue:
     f32 master params cast at the jaxpr boundary — bf16 shares fp32's
     exponent range so no GradScaler is needed; grads flow back f32 through
     the cast). Logits and BN stats are returned in f32 either way."""
     if not bf16:
-        return forward_train(params, x, spec, rng, dropout=dropout)
+        return forward_train(params, x, spec, rng, dropout=dropout,
+                             bn_momentum=bn_momentum)
     logits, bn_stats = forward_train(_cast_bf16(params),
                                      x.astype(jnp.bfloat16), spec, rng,
-                                     dropout=dropout)
+                                     dropout=dropout,
+                                     bn_momentum=bn_momentum)
     return logits.astype(jnp.float32), _cast_f32(bn_stats)
 
 
@@ -138,7 +155,8 @@ def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
 
     def loss_fn(params):
         logits, bn_stats = _forward_mixed(params, images, spec, step_rng,
-                                          cfg.bf16_compute, cfg.head_dropout)
+                                          cfg.bf16_compute, cfg.head_dropout,
+                                          cfg.bn_momentum)
         loss = focal_loss_with_smoothing(
             logits[:, 0], labels, cfg.focal_gamma, cfg.focal_alpha,
             cfg.label_smoothing)
@@ -151,9 +169,7 @@ def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
     new_params = optax.apply_updates(state.params, updates)
     new_params = update_bn_stats(new_params, spec, bn_stats)
 
-    d = cfg.ema_decay
-    new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
-                           state.ema_params, new_params)
+    new_ema = _ema_update(state.ema_params, new_params, cfg.ema_decay)
 
     preds = (jax.nn.sigmoid(logits[:, 0]) > 0.5).astype(jnp.float32)
     acc = jnp.mean(preds == labels.astype(jnp.float32))
@@ -185,7 +201,8 @@ def fused_train_step(state: TrainState, imgs_u8: jax.Array, labels: jax.Array,
 
     def loss_fn(params):
         logits, bn_stats = _forward_mixed(params, x, spec, k_drop,
-                                          cfg.bf16_compute, cfg.head_dropout)
+                                          cfg.bf16_compute, cfg.head_dropout,
+                                          cfg.bn_momentum)
         l = logits[:, 0]
         loss_a = focal_loss_with_smoothing(
             l, y_a, cfg.focal_gamma, cfg.focal_alpha, cfg.label_smoothing)
@@ -198,9 +215,7 @@ def fused_train_step(state: TrainState, imgs_u8: jax.Array, labels: jax.Array,
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_params = update_bn_stats(new_params, spec, bn_stats)
-    d = cfg.ema_decay
-    new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
-                           state.ema_params, new_params)
+    new_ema = _ema_update(state.ema_params, new_params, cfg.ema_decay)
     preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
     acc = jnp.mean(preds == labels.astype(jnp.float32))
     metrics = {"loss": loss, "accuracy": acc,

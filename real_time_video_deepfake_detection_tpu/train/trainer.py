@@ -126,7 +126,8 @@ def train(args) -> dict:
         mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
         focal_gamma=args.focal_gamma, focal_alpha=args.focal_alpha,
         ema_decay=args.ema_decay, backbone_lr_mult=args.backbone_lr_mult,
-        freeze_frac=args.freeze_frac, clip_norm=args.clip_norm)
+        freeze_frac=args.freeze_frac, clip_norm=args.clip_norm,
+        bn_momentum=args.bn_momentum)
     # Backbone swap (config 5): b0..b7 / vit_s16|b16|l16 / xception behind
     # the same trainer interface (models/backbones.py dispatch).
     spec = backbones.make(args.backbone, image_size=cfg.image_size)
@@ -293,6 +294,12 @@ def main(argv=None):
     p.add_argument("--num-workers", type=int, default=8,
                    help="decode/prefetch threads in the batch loader "
                         "(train.py --num_workers analogue)")
+    p.add_argument("--bn-momentum", type=float, default=None,
+                   help="BN running-stat momentum override. Default None = "
+                        "donor defaults (backbone 0.01, head 0.1), correct "
+                        "when warm-starting from pretrained stats like the "
+                        "reference; COLD-start training wants 0.1-0.2 or "
+                        "early validation sees unconverged statistics")
     p.add_argument("--fresh", action="store_true", help="ignore resume checkpoint")
     p.add_argument("--warm-start", default=None,
                    help="best_model.pth (torch) or .npz to initialize from")

@@ -214,14 +214,20 @@ def test_fused_train_step_learns_something():
     state2, m = step(state, imgs, labels)
     assert np.isfinite(float(m["loss"]))
     assert int(state2.step) == 1
-    # params actually moved
-    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                     state.params["fc"], state2.params["fc"])
-    assert max(jax.tree.leaves(d)) > 0
-    # EMA moved but much less
-    de = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                      state.ema_params["fc"], state2.ema_params["fc"])
-    assert 0 < max(jax.tree.leaves(de)) < max(jax.tree.leaves(d))
+    # params actually moved (weights only: BN mean/var are buffers that move
+    # identically in params and ema — reference EMA keeps them live)
+    def wmax(a, b):
+        d = jax.tree_util.tree_map_with_path(
+            lambda path, x, y: 0.0 if any(
+                getattr(p, "key", None) in ("mean", "var") for p in path)
+            else float(jnp.abs(x - y).max()), a, b)
+        return max(jax.tree.leaves(d))
+
+    d = wmax(state.params["fc"], state2.params["fc"])
+    assert d > 0
+    # EMA weights moved but much less
+    de = wmax(state.ema_params["fc"], state2.ema_params["fc"])
+    assert 0 < de < d
 
 
 @pytest.mark.slow
@@ -432,3 +438,66 @@ def test_head_dropout_threads_through_training_forward():
     lhi, _ = backbones.forward_train(params, x, spec, k, dropout=0.9)
     np.testing.assert_array_equal(np.asarray(l0a), np.asarray(l0b))
     assert not np.allclose(np.asarray(l0a), np.asarray(lhi))
+
+
+def test_ema_keeps_bn_buffers_live():
+    """Reference EMA (train.py:398-436) shadows only requires_grad
+    parameters; BN running mean/var are buffers and stay LIVE during
+    EMA validation. EMA-lagged stats mis-normalize every layer early in
+    training (random-init eval collapses to ~0 features)."""
+    from functools import partial
+
+    spec = EfficientNetSpec.make("b0")
+    cfg = TrainConfig(image_size=44, batch_size=8)
+    tx = make_optimizer(cfg, total_steps=4, spec=spec)
+    state = init_train_state(
+        init_params(jax.random.PRNGKey(0), spec), cfg, total_steps=4, tx=tx)
+    step = jax.jit(partial(fused_train_step, spec=spec, cfg=cfg, tx=tx))
+    imgs = jnp.asarray(rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8))
+    labels = jnp.asarray((np.arange(8) % 2).astype(np.float32))
+    state, _ = step(state, imgs, labels)
+
+    # running stats identical between params and ema (live buffers) ...
+    np.testing.assert_array_equal(
+        np.asarray(state.params["stem"]["bn"]["mean"]),
+        np.asarray(state.ema_params["stem"]["bn"]["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["fc"]["bn1"]["var"]),
+        np.asarray(state.ema_params["fc"]["bn1"]["var"]))
+    # ... while weights are EMA-lagged (differ after one update)
+    dw = float(jnp.abs(state.params["fc"]["fc1"]["w"]
+                       - state.ema_params["fc"]["fc1"]["w"]).max())
+    assert dw > 0
+
+
+def test_bn_momentum_head_vs_backbone():
+    """Backbone BN momentum 0.01 (efficientnet_pytorch's
+    batch_norm_momentum=0.99), head BatchNorm1d momentum 0.1 (torch
+    default): one forward_train from zero-init stats must move head stats
+    10x as far toward the batch statistics."""
+    from real_time_video_deepfake_detection_tpu.models import efficientnet as E
+
+    spec = EfficientNetSpec.make("b0")
+    params = init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    stats = []
+    feats = E.extract_features(params, x, spec, train=True,
+                               rng=jax.random.PRNGKey(1),
+                               batch_stats_out=stats)
+    # rng=None: no head dropout, so bn inputs are exactly fc1(feats)
+    E.apply_head(params, feats, train=True, rng=None,
+                 batch_stats_out=stats)
+    new = E.update_bn_stats(params, spec, stats)
+
+    # stem (first stats entry): new_mean = 0.99*0 + 0.01*batch_mean
+    stem_in = E.conv2d(x, params["stem"]["conv"], stride=2)
+    batch_mean = jnp.mean(stem_in, axis=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(new["stem"]["bn"]["mean"]),
+                               0.01 * np.asarray(batch_mean), rtol=1e-5)
+
+    # head bn1: new_mean = 0.9*0 + 0.1*batch_mean of fc1 pre-activations
+    h = feats @ params["fc"]["fc1"]["w"] + params["fc"]["fc1"]["b"]
+    head_mean = jnp.mean(h, axis=0)
+    np.testing.assert_allclose(np.asarray(new["fc"]["bn1"]["mean"]),
+                               0.1 * np.asarray(head_mean),
+                               rtol=1e-4, atol=1e-7)

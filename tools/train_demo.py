@@ -1,0 +1,163 @@
+"""End-to-end training convergence demo on a deepfake-artifact proxy task.
+
+Synthesizes a dataset where "fake" differs from "real" only by the kind of
+low-level artifact the forensic literature attributes to face-swap pipelines
+(re-compression + resampling): every image is a smooth random face-ish
+composite; FAKE copies are warped by a sub-pixel affine resample and
+re-encoded JPEG at low quality before the (shared) final encode. The ONLY
+learnable signal is the artifact texture — exactly what the reference's
+classifier is trained to pick up on FF++/DFDC crops.
+
+Then runs the REAL trainer CLI (balanced sampler, fused device step with
+on-device augmentation, EMA validation, checkpoints) and reports the final
+validation metrics. A val accuracy far above chance demonstrates the
+training stack optimizes end-to-end, not merely "runs".
+
+Usage: python tools/train_demo.py [--n 1200] [--size 96] [--epochs 6]
+       [--out /tmp/train_demo]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_base(rng, size):
+    """Smooth face-ish composite: skin-tone ellipse + gradient + mild noise."""
+    import cv2
+    h = w = size * 2   # render at 2x, crops downscale like real face crops
+    img = np.zeros((h, w, 3), np.float32)
+    # background gradient
+    g0, g1 = rng.uniform(40, 120, 2)
+    img += np.linspace(g0, g1, w, dtype=np.float32)[None, :, None]
+    # face ellipse
+    cy, cx = (rng.uniform(0.4, 0.6) * h, rng.uniform(0.4, 0.6) * w)
+    ry, rx = rng.uniform(0.25, 0.4) * h, rng.uniform(0.2, 0.3) * w
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0)
+    tone = rng.uniform((90, 120, 160), (130, 160, 210))
+    img[mask] = tone
+    img += rng.normal(0, 3.0, img.shape)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+
+
+def fake_artifacts(img, rng):
+    """The face-swap artifact proxy: RESOLUTION MISMATCH — the center
+    region is downscaled 2.5-3.5x and pasted back upsampled, i.e. a blurry
+    generated face composited onto a sharp background (the canonical swap
+    tell the FF++ baselines key on). This signal survives the trainer's own
+    augmentation (JPEG q20-75 p=0.5, noise, jitter), unlike pure
+    re-compression artifacts which the JPEG aug erases on half the REAL
+    class too (measured: AUC 0.50-0.53 with a compression-only proxy)."""
+    import cv2
+    h, w = img.shape[:2]
+    f = float(rng.uniform(2.5, 3.5))
+    small = cv2.resize(img, (max(2, int(w / f)), max(2, int(h / f))),
+                       interpolation=cv2.INTER_AREA)
+    blurry = cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
+    # composite: blurry center (the "swapped face"), sharp border
+    out = img.copy()
+    m = int(0.12 * h)
+    out[m:h - m, m:w - m] = blurry[m:h - m, m:w - m]
+    q = int(rng.integers(20, 32))
+    ok, enc = cv2.imencode(".jpg", out, [cv2.IMWRITE_JPEG_QUALITY, q])
+    return cv2.imdecode(enc, cv2.IMREAD_COLOR)
+
+
+def build_dataset(root, n_train, n_val, size, seed=0):
+    import cv2
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("val", n_val)):
+        for label in ("real", "fake"):
+            os.makedirs(os.path.join(root, split, label), exist_ok=True)
+        for i in range(n):
+            base = synth_base(rng, size)
+            fake = fake_artifacts(base, rng)
+            # shared final encode at a quality that does not erase the
+            # fake's low-q blocking
+            enc_q = [cv2.IMWRITE_JPEG_QUALITY, 92]
+            cv2.imwrite(os.path.join(root, split, "real", f"{i}.jpg"),
+                        base, enc_q)
+            cv2.imwrite(os.path.join(root, split, "fake", f"{i}.jpg"),
+                        fake, enc_q)
+
+
+def build_control_dataset(root, n_train, n_val, size, seed=0):
+    """Trivially separable control: the two classes differ by global
+    brightness. If the trainer cannot reach ~100% here, the training loop
+    itself is broken (this control caught the EMA'd-BN-stats bug)."""
+    import cv2
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("val", n_val)):
+        for label, base in (("real", 60), ("fake", 195)):
+            d = os.path.join(root, split, label)
+            os.makedirs(d, exist_ok=True)
+            for i in range(n):
+                img = np.clip(rng.normal(base, 12, (size, size, 3)),
+                              0, 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(d, f"{i}.jpg"), img)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", choices=("artifact", "control"),
+                   default="artifact",
+                   help="artifact = swap-proxy resolution-mismatch task; "
+                        "control = trivially separable brightness task "
+                        "(sanity-checks the training loop itself)")
+    p.add_argument("--n", type=int, default=1200, help="images per class (train)")
+    p.add_argument("--n-val", type=int, default=200, help="images per class (val)")
+    p.add_argument("--size", type=int, default=96)
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--out", default="/tmp/train_demo")
+    args = p.parse_args()
+
+    ds = os.path.join(args.out, "ds")
+    weights = os.path.join(args.out, "weights")
+    shutil.rmtree(args.out, ignore_errors=True)
+    print(f"[demo] synthesizing {2*(args.n+args.n_val)} images ...")
+    if args.task == "control":
+        build_control_dataset(ds, args.n, args.n_val, args.size + 32)
+    else:
+        # synthesize ABOVE the loader's size+20 canvas so images are only
+        # ever downscaled — upscaling at load time would soften the real
+        # class's sharpness and dilute the artifact contrast
+        build_dataset(ds, args.n, args.n_val, args.size + 32)
+
+    from real_time_video_deepfake_detection_tpu.train import trainer
+    res = trainer.main([
+        "--dataset", ds, "--epochs", str(args.epochs),
+        "--batch-size", str(args.batch_size),
+        "--image-size", str(args.size), "--fresh",
+        # cold-start knobs: nothing is pretrained here, so unfreeze the
+        # backbone, converge BN running stats fast (donor momentum 0.01
+        # assumes pretrained stats), shorten the EMA horizon to the run
+        # length (0.999 is tuned for multi-thousand-step runs), and use
+        # balanced focal alpha (the reference's 0.25 parks the weak-signal
+        # optimum below the 0.5 decision cut on a 50/50 synthetic set)
+        "--freeze-frac", "0.0", "--bn-momentum", "0.15",
+        "--ema-decay", "0.97", "--patience", str(args.epochs),
+        "--focal-alpha", "0.5",
+        "--lr", "1e-3", "--bf16", "--output-dir", weights,
+    ])
+    log = json.load(open(os.path.join(weights, "training_log.json")))
+    last = log[-1]
+    print(json.dumps({
+        "task": ("brightness control (loop sanity)" if args.task == "control"
+                 else "resolution-mismatch swap-proxy discrimination"),
+        "best_val_f1": res["best"]["f1"], "best_val_acc": res["best"]["acc"],
+        "last_epoch": {k: last[k] for k in
+                       ("epoch", "train_acc", "val_acc", "val_f1", "val_auc")},
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
