@@ -13,10 +13,19 @@ Typical use:
     head, log = train_clip_head(key, feats, labels, hspec)
     save via train/checkpoint.save_checkpoint -> serve with
     `--batched --clip-window T --clip-head head.npz`.
+
+Or the operator path over labeled video directories
+(`<root>/{train[,val]}/{real,fake}/*.mp4`):
+    python -m real_time_video_deepfake_detection_tpu.train.clip_head \
+        --videos root --clip-window 16 --backbone-weights best.npz \
+        --out clip_head.npz
 """
 
 from __future__ import annotations
 
+import argparse
+import json
+import os
 from functools import partial
 from typing import Dict, Tuple
 
@@ -25,24 +34,27 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..models import backbones
 from ..models import temporal_head as th
-from ..models.efficientnet import EfficientNetSpec, extract_features
+from ..models.efficientnet import EfficientNetSpec
 from ..pipeline.classify import preprocess_aligned
 from .losses import focal_loss_with_smoothing
 
 
-def extract_clip_features(backbone_params, spec: EfficientNetSpec,
+def extract_clip_features(backbone_params, spec,
                           clips_rgb_raw: jax.Array,
                           batch_frames: int = 256) -> jax.Array:
     """(N, T, H, W, 3) raw-RGB face crops -> (N, T, feat) pooled backbone
-    features, frozen backbone, chunked so any N*T fits device memory."""
+    features, frozen backbone, chunked so any N*T fits device memory.
+    `spec` is any backbones.make() spec (config-5 swap)."""
     n, t = clips_rgb_raw.shape[:2]
     flat = clips_rgb_raw.reshape((n * t,) + clips_rgb_raw.shape[2:])
 
     @jax.jit
     def run(chunk):
         x = jax.vmap(lambda f: preprocess_aligned(f.astype(jnp.float32)))(chunk)
-        return extract_features(backbone_params, x, spec, train=False)
+        return backbones.extract_features(backbone_params, x, spec,
+                                          train=False)
 
     outs = []
     for i in range(0, n * t, batch_frames):
@@ -96,3 +108,138 @@ def train_clip_head(key: jax.Array, feats: jax.Array, labels: jax.Array,
         log.append({"epoch": epoch, "loss": float(np.mean(losses)),
                     "acc": float(np.mean(accs))})
     return params, log
+
+
+# ------------------------------------------------------------ operator CLI
+
+def _clip_from_video(path: str, t: int, face_detector, crop_size: int):
+    """Sample `t` frames uniformly in the video's 5-95% span (the trainer's
+    pre-extraction convention, train.py:128-161), crop the first detected
+    face per frame (whole frame when none), resize to `crop_size`, RGB.
+    Returns (t, crop, crop, 3) u8 or None when the video yields nothing."""
+    import cv2
+
+    from ..utils.host_resize import resize_analysis
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        return None
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if n <= 0:
+        cap.release()
+        return None
+    lo, hi = 0.05 * n, max(0.95 * n - 1, 0.05 * n)
+    idxs = np.unique(np.linspace(lo, hi, t).astype(int))
+    frames = []
+    for i in idxs:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+        ret, f = cap.read()
+        if not ret:
+            continue
+        boxes = face_detector(f)
+        if boxes:
+            x, y, w, h = boxes[0]
+            crop = f[y:y + h, x:x + w]
+        else:
+            crop = f
+        crop = resize_analysis(crop, crop_size, crop_size)
+        frames.append(crop[..., ::-1])   # BGR -> RGB raw values
+    cap.release()
+    if not frames:
+        return None
+    while len(frames) < t:               # short video: repeat the last frame
+        frames.append(frames[-1])
+    return np.stack(frames[:t])
+
+
+def _build_split(root: str, split: str, t: int, face_detector, crop_size: int):
+    clips, labels = [], []
+    for label, y in (("real", 0.0), ("fake", 1.0)):
+        d = os.path.join(root, split, label)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            c = _clip_from_video(os.path.join(d, name), t, face_detector,
+                                 crop_size)
+            if c is not None:
+                clips.append(c)
+                labels.append(y)
+    if not clips:
+        return None, None
+    return np.stack(clips), np.asarray(labels, np.float32)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Train the clip-attention verdict head (config 5) from "
+                    "labeled videos")
+    p.add_argument("--videos", required=True,
+                   help="dir with train/{real,fake}/*.mp4 (val/ optional)")
+    p.add_argument("--clip-window", type=int, default=16)
+    p.add_argument("--backbone", default="b0",
+                   choices=backbones.backbone_names())
+    p.add_argument("--backbone-weights", default=None,
+                   help="frozen feature extractor: best_model.pth or .npz "
+                        "(random init without — features are then arbitrary)")
+    p.add_argument("--crop-size", type=int, default=160,
+                   help="face-crop side fed to the backbone (the serving "
+                        "aligner's output size)")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="clip_head.npz")
+    args = p.parse_args(argv)
+
+    from ..pipeline.faces import FaceDetector
+    from .checkpoint import save_checkpoint
+
+    spec = backbones.make(args.backbone)
+    bparams = backbones.init_params(jax.random.PRNGKey(args.seed), spec)
+    if args.backbone_weights:
+        if args.backbone_weights.endswith(".pth"):
+            from ..utils.torch_convert import load_checkpoint as load_torch
+            bparams, _ = load_torch(args.backbone_weights, spec)
+        else:
+            from .checkpoint import load_checkpoint as load_tree
+            st, _, _ = load_tree(args.backbone_weights,
+                                 restore_host_rng=False)
+            bparams = st.params if hasattr(st, "params") else st
+
+    fd = FaceDetector()
+    t = args.clip_window
+    clips, labels = _build_split(args.videos, "train", t, fd, args.crop_size)
+    if clips is None:
+        raise SystemExit(f"no usable videos under {args.videos}/train")
+    print(f"  [clip-head] {len(clips)} train clips x {t} frames")
+    feats = extract_clip_features(bparams, spec, jnp.asarray(clips))
+
+    hspec = th.TemporalHeadSpec(feature_dim=backbones.feature_dim(spec),
+                                window=t)
+    params, log = train_clip_head(
+        jax.random.PRNGKey(args.seed + 1), feats,
+        jnp.asarray(labels), hspec, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr)
+
+    result = {"train_log_tail": log[-3:]}
+    vclips, vlabels = _build_split(args.videos, "val", t, fd, args.crop_size)
+    if vclips is not None:
+        vfeats = extract_clip_features(bparams, spec, jnp.asarray(vclips))
+        mask = jnp.ones(vfeats.shape[:2], bool)
+        probs = np.asarray(jax.nn.sigmoid(th.forward(params, vfeats, mask,
+                                                     hspec)))
+        result["val_acc"] = float(((probs > 0.5) == (vlabels > 0.5)).mean())
+        result["val_n"] = int(len(vlabels))
+
+    save_checkpoint(args.out, params,
+                    {"hspec": {"feature_dim": hspec.feature_dim,
+                               "window": hspec.window, "dim": hspec.dim,
+                               "depth": hspec.depth, "heads": hspec.heads},
+                     "backbone": args.backbone, "epochs": args.epochs})
+    result["saved"] = args.out
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -501,3 +501,66 @@ def test_bn_momentum_head_vs_backbone():
     np.testing.assert_allclose(np.asarray(new["fc"]["bn1"]["mean"]),
                                0.1 * np.asarray(head_mean),
                                rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_clip_head_cli_end_to_end(tmp_path):
+    """The config-5 operator path the library alone couldn't exercise:
+    `python -m ...train.clip_head --videos root` samples clips from labeled
+    videos (5-95% span, face-ladder crops), extracts frozen-backbone
+    features, trains the temporal head, and saves a checkpoint that the
+    batched engine serves via --clip-window/--clip-head."""
+    import dataclasses
+
+    import cv2
+
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig, ServerConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        MultiStreamEngine,
+    )
+    from real_time_video_deepfake_detection_tpu.train import clip_head
+
+    rng_l = np.random.default_rng(3)
+
+    def write_video(path, flicker):
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                            5, (96, 96))
+        for i in range(12):
+            lvl = 150 if (flicker and i % 2) else 80
+            f = np.clip(rng_l.normal(lvl, 15, (96, 96, 3)),
+                        0, 255).astype(np.uint8)
+            w.write(f)
+        w.release()
+
+    for split, n in (("train", 3), ("val", 1)):
+        for label, flick in (("real", False), ("fake", True)):
+            d = tmp_path / split / label
+            d.mkdir(parents=True)
+            for i in range(n):
+                write_video(d / f"{i}.mp4", flick)
+
+    out = str(tmp_path / "head.npz")
+    res = clip_head.main([
+        "--videos", str(tmp_path), "--clip-window", "6", "--epochs", "4",
+        "--batch-size", "6", "--crop-size", "48", "--out", out,
+    ])
+    assert res["saved"] == out and "val_acc" in res
+    assert np.isfinite(res["train_log_tail"][-1]["loss"])
+
+    from real_time_video_deepfake_detection_tpu.train.checkpoint import (
+        load_checkpoint,
+    )
+    head, meta, _ = load_checkpoint(out, restore_host_rng=False)
+    assert meta["hspec"]["window"] == 6
+    cfg = dataclasses.replace(DetectorConfig(), clip_window=6)
+    eng = MultiStreamEngine(cfg, ServerConfig(max_streams=2),
+                            clip_head_params=head)
+    frame = rng_l.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    try:
+        for _ in range(2):
+            r = eng.analyze(frame, "s0")
+    finally:
+        eng.shutdown()
+    assert "clip_probability" in r
