@@ -75,7 +75,7 @@ def fit_calibrator_from_validation(params, spec, loader, out_path: str):
     weights/calibrator.pkl)."""
     import jax
     import jax.numpy as jnp
-    from ..models.efficientnet import forward
+    from ..models.backbones import forward
     from .augment import eval_preprocess_batch
 
     eval_fn = jax.jit(lambda p, x: jax.nn.sigmoid(

@@ -253,6 +253,16 @@ def train(args) -> dict:
                   f"without F1 improvement.")
             break
 
+    if getattr(args, "fit_calibrator", False):
+        # isotonic calibration on validation predictions of the final EMA
+        # weights (the reference's optional weights/calibrator.pkl — a file
+        # its repo references but never ships a fit path for)
+        from .calibration import fit_calibrator_from_validation
+        cal_path = os.path.join(out_dir, "calibrator.pkl")
+        fit_calibrator_from_validation(state.ema_params, spec, val_loader,
+                                       cal_path)
+        print(f"  Calibrator saved to {cal_path}")
+
     return {"best": best, "log": training_log}
 
 
@@ -294,6 +304,11 @@ def main(argv=None):
     p.add_argument("--num-workers", type=int, default=8,
                    help="decode/prefetch threads in the batch loader "
                         "(train.py --num_workers analogue)")
+    p.add_argument("--fit-calibrator", action="store_true",
+                   help="after training, fit the isotonic calibrator on "
+                        "validation predictions and save "
+                        "<output-dir>/calibrator.pkl (picked up by the "
+                        "detector when serving from that directory)")
     p.add_argument("--bn-momentum", type=float, default=None,
                    help="BN running-stat momentum override. Default None = "
                         "donor defaults (backbone 0.01, head 0.1), correct "

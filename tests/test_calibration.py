@@ -45,3 +45,34 @@ def test_detector_applies_pickled_calibrator(tmp_path):
     det.calibrator = IsotonicCalibrator().fit([0.0, 1.0], [0, 1])
     assert det.apply_calibration(0.3) == pytest.approx(
         float(det.calibrator.predict_proba([[0.3]])[0][1]))
+
+
+def test_detector_loads_cwd_calibrator(tmp_path, monkeypatch):
+    """The operator loop: `rtvdd-train --fit-calibrator` writes
+    weights/calibrator.pkl (IsotonicCalibrator dict format); a detector
+    constructed from that working directory must pick it up and apply it
+    (the raw pickle.load of the dict used to fail predict_proba and
+    silently no-op)."""
+    import numpy as np
+
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.pipeline.detector import (
+        DeepfakeDetector,
+    )
+    from real_time_video_deepfake_detection_tpu.train.calibration import (
+        IsotonicCalibrator,
+    )
+
+    (tmp_path / "weights").mkdir()
+    cal = IsotonicCalibrator().fit(
+        np.linspace(0.1, 0.9, 20), (np.arange(20) >= 8).astype(int))
+    cal.save(str(tmp_path / "weights" / "calibrator.pkl"))
+    monkeypatch.chdir(tmp_path)
+
+    det = DeepfakeDetector(DetectorConfig())
+    assert det.calibrator is not None
+    want = float(cal.predict_proba([[0.3]])[0][1])
+    assert det.apply_calibration(0.3) == pytest.approx(want)
+    assert det.apply_calibration(0.3) != 0.3
