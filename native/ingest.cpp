@@ -76,8 +76,21 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t len, int max_dim_hint,
   jpeg_start_decompress(&cinfo);
   const int h = cinfo.output_height;
   const int w = cinfo.output_width;
+  // Reject absurd dimensions from crafted headers (JPEG allows 65535^2 ==
+  // ~12.9 GB BGR) instead of letting an unchecked malloc return null and
+  // the scanline loop write through it. 64 MP covers every real capture;
+  // oversize inputs fall back to the caller's cv2 ladder / 400 path.
+  if (h <= 0 || w <= 0 ||
+      static_cast<int64_t>(h) * w > static_cast<int64_t>(64) * 1024 * 1024) {
+    jpeg_destroy_decompress(&cinfo);
+    return nullptr;
+  }
   const int stride = w * 3;
   buf = static_cast<uint8_t*>(malloc(static_cast<size_t>(h) * stride));
+  if (!buf) {
+    jpeg_destroy_decompress(&cinfo);
+    return nullptr;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = buf + static_cast<size_t>(cinfo.output_scanline) * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);

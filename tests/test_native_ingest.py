@@ -62,3 +62,34 @@ def test_batch_decode():
 def test_garbage_returns_none():
     assert ni.decode_jpeg(b"garbage") is None
     assert ni.decode_resize(b"") is None
+
+
+def test_decode_rejects_absurd_header_dimensions():
+    """A crafted JPEG whose SOF0 header declares 60000x60000 (~10.8 GB BGR)
+    must be rejected cleanly (None), not crash: the decoder used to pass the
+    unchecked dimensions to malloc and write scanlines through a null
+    return. The serving ladder then falls back to cv2 / the 400 path."""
+    from real_time_video_deepfake_detection_tpu.utils import native_ingest
+
+    if native_ingest.get_lib() is None:
+        pytest.skip("native ingest unavailable")
+
+    ok, enc = cv2.imencode(
+        ".jpg", np.full((32, 32, 3), 128, np.uint8))
+    assert ok
+    raw = bytearray(enc.tobytes())
+    # patch SOF0/SOF2 height/width fields (big-endian u16 at offset +5/+7)
+    i = 0
+    patched = False
+    while i < len(raw) - 1:
+        if raw[i] == 0xFF and raw[i + 1] in (0xC0, 0xC2):
+            raw[i + 5:i + 7] = (60000).to_bytes(2, "big")
+            raw[i + 7:i + 9] = (60000).to_bytes(2, "big")
+            patched = True
+            break
+        i += 1
+    assert patched
+    assert native_ingest.decode_jpeg(bytes(raw)) is None
+    # and the normal image still decodes
+    out = native_ingest.decode_jpeg(enc.tobytes())
+    assert out is not None and out.shape == (32, 32, 3)
