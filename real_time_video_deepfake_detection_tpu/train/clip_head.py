@@ -137,11 +137,12 @@ def _clip_from_video(path: str, t: int, face_detector, crop_size: int):
         if not ret:
             continue
         boxes = face_detector(f)
+        crop = f
         if boxes:
             x, y, w, h = boxes[0]
-            crop = f[y:y + h, x:x + w]
-        else:
-            crop = f
+            candidate = f[y:y + h, x:x + w]
+            if candidate.size:
+                crop = candidate
         crop = resize_analysis(crop, crop_size, crop_size)
         frames.append(crop[..., ::-1])   # BGR -> RGB raw values
     cap.release()
