@@ -350,7 +350,14 @@ def main(argv=None):
                             server_class=ThreadingWSGIServer)
         logger.info(f"Batched deepfake server ({args.max_streams} streams) "
                     f"on http://{args.host}:{args.port}")
-        httpd.serve_forever()
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            # stop the batcher/drain threads so Ctrl-C exits promptly
+            # instead of hanging on non-daemon engine threads
+            engine.shutdown()
         return
     det = DeepfakeDetector(cfg, params=_load_params(), spec=spec,
                            ssd_weights_path=args.ssd_weights,
