@@ -55,6 +55,14 @@ class DetectorConfig:
     """Detection orchestrator (reference: deepfake_detection.py:300-342)."""
 
     detection_threshold: float = 0.5   # (:733 module default; 0.55 in server :57)
+    # Isotonic-calibrator knots ((x...), (y...)) applied to the FACE
+    # probability between sigmoid and the small-face heuristic — the
+    # reference's apply_calibration-then-apply_heuristics order
+    # (deepfake_detection.py:535-538). Tuples (hashable) so the config
+    # stays a static jit argument; the batched engine fills this from
+    # weights/calibrator.pkl at construction. None = identity.
+    calibrator_knots: Optional[Tuple[Tuple[float, ...],
+                                     Tuple[float, ...]]] = None
     face_weight: float = 0.70          # configurable fusion (:734); NOTE: the
     forensic_weight: float = 0.30      # reference's effective behavior is
     # face-only when a face is present (deepfake_detection.py:620-623) — that

@@ -145,22 +145,13 @@ class DeepfakeDetector:
         self.forensic_state: ForensicState = forensic_state_init(cfg.forensic)
         self.last_frame_forensic_result = None
 
-        # Optional isotonic calibrator (deepfake_detection.py:334-342).
-        # Checked in the package's weights/ dir and the working directory's
-        # (where `rtvdd-train --fit-calibrator` writes it); loaded through
-        # IsotonicCalibrator.load, which accepts both its own dict format
-        # and a pickled calibrator object (the reference's sklearn pickle).
-        self.calibrator = None
-        for cal in (os.path.join(os.path.dirname(__file__), "..", "weights",
-                                 "calibrator.pkl"),
-                    os.path.join("weights", "calibrator.pkl")):
-            if os.path.exists(cal):
-                try:
-                    from ..train.calibration import IsotonicCalibrator
-                    self.calibrator = IsotonicCalibrator.load(cal)
-                    break
-                except Exception:
-                    pass
+        # Optional isotonic calibrator (deepfake_detection.py:334-342):
+        # weights/calibrator.pkl in the package dir or the working directory
+        # (where `rtvdd-train --fit-calibrator` writes it); accepts both the
+        # IsotonicCalibrator dict format and a pickled calibrator object
+        # (the reference's sklearn pickle).
+        from ..train.calibration import load_default
+        self.calibrator = load_default()
 
         self._jit_forensic = jax.jit(forensics.analyze_frame)
 

@@ -166,6 +166,13 @@ def _step_core(spec, cfg: DetectorConfig, params,
         feats = backbones.extract_features(backbone, x, spec)
         logits = backbones.apply_head(backbone, feats, spec)
         face_prob = jax.nn.sigmoid(logits[:, 0])
+    if cfg.calibrator_knots is not None:
+        # isotonic calibration between sigmoid and the small-face heuristic
+        # — the reference's apply_calibration-then-apply_heuristics order
+        # (deepfake_detection.py:535-538); knots are compiled-in constants
+        cx = jnp.asarray(cfg.calibrator_knots[0], jnp.float32)
+        cy = jnp.asarray(cfg.calibrator_knots[1], jnp.float32)
+        face_prob = jnp.interp(face_prob, cx, cy)
     small = (face_hw[:, 0] < cfg.small_face_px) | (face_hw[:, 1] < cfg.small_face_px)
     face_prob = jnp.clip(
         face_prob + jnp.where(small, cfg.small_face_boost, 0.0), 0.0, 1.0)

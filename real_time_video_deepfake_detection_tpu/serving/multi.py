@@ -74,6 +74,17 @@ class MultiStreamEngine:
             fdim = backbones.feature_dim(self.spec)
             if cfg.clip_feature_dim != fdim:
                 cfg = _dc.replace(cfg, clip_feature_dim=fdim)
+        if cfg.calibrator_knots is None:
+            # same optional weights/calibrator.pkl the single-stream
+            # detector applies — compiled into the tick so both serving
+            # modes calibrate identically
+            from ..train.calibration import load_default
+            _cal = load_default()
+            if _cal is not None and getattr(_cal, "x_", None) is not None:
+                import dataclasses as _dc2
+                cfg = _dc2.replace(cfg, calibrator_knots=(
+                    tuple(float(v) for v in _cal.x_),
+                    tuple(float(v) for v in _cal.y_)))
         self.cfg = cfg
         self.params = params if params is not None else backbones.init_params(
             jax.random.PRNGKey(0), self.spec)

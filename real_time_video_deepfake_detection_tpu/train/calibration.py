@@ -9,6 +9,7 @@ expects, plus fit/save/load helpers.
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Sequence
 
@@ -88,3 +89,19 @@ def fit_calibrator_from_validation(params, spec, loader, out_path: str):
     cal = IsotonicCalibrator().fit(np.concatenate(probs), np.concatenate(labels))
     cal.save(out_path)
     return cal
+
+
+def load_default():
+    """The detector/engine's optional calibrator: weights/calibrator.pkl in
+    the package dir (the reference's repo-relative convention,
+    deepfake_detection.py:334-342) or the working directory (where
+    `rtvdd-train --fit-calibrator` writes it). None when absent/unreadable."""
+    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cal in (os.path.join(base, "weights", "calibrator.pkl"),
+                os.path.join("weights", "calibrator.pkl")):
+        if os.path.exists(cal):
+            try:
+                return IsotonicCalibrator.load(cal)
+            except Exception:
+                pass
+    return None

@@ -410,3 +410,46 @@ def test_analyze_cli_multi_rejects_output(tmp_path):
 
     with pytest.raises(SystemExit):
         analyze.main(["a.mp4", "b.mp4", "--output", str(tmp_path / "o.mp4")])
+
+
+def test_calibrator_knots_apply_in_tick():
+    """A fitted isotonic calibrator must act identically in both serving
+    modes: the batched tick applies the knot map to the FACE probability
+    between sigmoid and the small-face heuristic (the reference's
+    apply_calibration-then-apply_heuristics order,
+    deepfake_detection.py:535-538). Verified against np.interp of the
+    uncalibrated tick's probabilities."""
+    import jax.numpy as jnp
+
+    from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+        EfficientNetSpec, init_params,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.batcher import (
+        device_step, init_stream_states,
+    )
+
+    N = 4
+    spec = EfficientNetSpec.make("b0")
+    params = init_params(jax.random.PRNGKey(0), spec)
+    r = np.random.default_rng(5)
+    frames = jnp.asarray(r.integers(0, 256, (N, 256, 256, 3), dtype=np.uint8))
+    faces = jnp.asarray(r.random((N, 160, 160, 3), dtype=np.float32) * 255)
+    has_face = jnp.ones((N,), bool)
+    face_hw = jnp.full((N, 2), 100, jnp.int32)   # not small: no boost
+    active = jnp.ones((N,), bool)
+
+    cfg0 = DetectorConfig().with_threshold(0.55)
+    out0, _ = device_step(spec, cfg0, params, frames, faces, has_face,
+                          face_hw, active, init_stream_states(N, cfg0))
+
+    knots = ((0.0, 0.4, 0.6, 1.0), (0.1, 0.2, 0.8, 0.9))
+    cfg1 = dataclasses.replace(cfg0, calibrator_knots=knots)
+    out1, _ = device_step(spec, cfg1, params, frames, faces, has_face,
+                          face_hw, active, init_stream_states(N, cfg1))
+
+    want = np.interp(np.asarray(out0["face_probability"]),
+                     np.asarray(knots[0]), np.asarray(knots[1]))
+    np.testing.assert_allclose(np.asarray(out1["face_probability"]), want,
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(out1["face_probability"]),
+                           np.asarray(out0["face_probability"]))
