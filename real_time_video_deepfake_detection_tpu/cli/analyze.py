@@ -91,7 +91,8 @@ def _analyze_multi(args) -> None:
 
     out = {"videos": summaries,
            "engine_ticks": engine.metrics["ticks"],
-           "frames_total": engine.metrics["frames_total"]}
+           "frames_total": engine.metrics["frames_total"],
+           "max_batch_seen": engine.metrics["max_batch_seen"]}
     print(json.dumps(out, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:

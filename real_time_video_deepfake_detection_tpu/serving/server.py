@@ -243,6 +243,12 @@ def main(argv=None):
                         "clients may send stream_id / X-Stream-Id")
     p.add_argument("--max-streams", type=int, default=64)
     p.add_argument("--batch-timeout-ms", type=float, default=5.0)
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="cap requests per device tick; below --max-streams "
+                        "this is the latency mode (e.g. 32: 64 streams are "
+                        "served as two interleaved 32-slot tick groups — "
+                        "~25%% lower per-frame latency for some aggregate "
+                        "throughput)")
     p.add_argument("--mtcnn-weights", default=None,
                    help="facenet-pytorch pnet/rnet/onet weights (dir or .pt); "
                         "enables the JAX MTCNN aligner in the face path "
@@ -323,6 +329,7 @@ def main(argv=None):
 
         scfg = ServerConfig(detection_threshold=args.threshold,
                             max_streams=args.max_streams,
+                            max_batch=args.max_batch,
                             batch_timeout_ms=args.batch_timeout_ms,
                             device_detect=args.device_detect)
         params = _load_params()

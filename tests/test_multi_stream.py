@@ -399,8 +399,12 @@ def test_analyze_cli_multi_video_batched(tmp_path):
         assert v["frames"] == 4
         assert v["final_verdict"] in ("REAL", "FAKE", "UNCERTAIN")
     assert r["frames_total"] == 12
-    # 3 synchronized readers -> far fewer ticks than frames (true batching)
-    assert r["engine_ticks"] <= 8
+    # 3 synchronized readers -> frames from different files shared at least
+    # one device tick. (A tick-COUNT ceiling is scheduling-dependent: on a
+    # loaded 1-core CI host the reader threads can serialize almost
+    # completely, so assert batching evidence, not a tick budget.)
+    assert r["max_batch_seen"] >= 2
+    assert r["engine_ticks"] < r["frames_total"]
 
 
 def test_analyze_cli_multi_rejects_output(tmp_path):
@@ -453,3 +457,56 @@ def test_calibrator_knots_apply_in_tick():
                                atol=1e-6)
     assert not np.allclose(np.asarray(out1["face_probability"]),
                            np.asarray(out0["face_probability"]))
+
+
+def test_latency_mode_max_batch_splits_ticks_identically():
+    """Latency mode (ServerConfig.max_batch < max_streams, server
+    --max-batch): the batcher serves the streams as interleaved tick
+    groups of at most max_batch slots. Per-stream state chains are
+    independent of tick grouping (the default per-frame forensic schedule
+    follows each stream's own frame count), so every per-stream output
+    sequence must be IDENTICAL to the full-batch engine's — smaller ticks
+    trade aggregate throughput for per-frame latency, never results."""
+    cfg = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55), face_backend="heuristic")
+
+    def drive(max_batch):
+        scfg = ServerConfig(max_streams=8, max_batch=max_batch,
+                            batch_timeout_ms=5.0, min_request_interval=0.0)
+        eng = MultiStreamEngine(cfg, scfg)
+        assert max(eng.buckets) == max_batch
+        out = {}
+        errs = []
+
+        def worker(name):
+            try:
+                seq = []
+                for i in range(3):
+                    seq.append(eng.analyze(_frame(hash(name) % 50 + i), name))
+                out[name] = seq
+            except Exception as e:   # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(f"s{k}",))
+                   for k in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        eng.shutdown()
+        assert not errs
+        return out
+
+    full = drive(max_batch=8)
+    split = drive(max_batch=4)
+    assert set(full) == set(split)
+    for name in full:
+        for a, b in zip(full[name], split[name]):
+            assert a["frame_count"] == b["frame_count"]
+            assert a["analysis_mode"] == b["analysis_mode"]
+            for k in ("fake_probability", "frame_forensic_probability",
+                      "temporal_average", "stability_score"):
+                if k in a or k in b:
+                    np.testing.assert_allclose(a[k], b[k], atol=1e-6,
+                                               err_msg=f"{name} {k}")
+            assert a["confidence_level"] == b["confidence_level"]
