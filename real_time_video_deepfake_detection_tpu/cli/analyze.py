@@ -17,22 +17,11 @@ import sys
 
 
 def _load_params(weights, spec):
-    """--weights loading shared with serving/server.py: reference .pth via
-    the torch converter, else a trainer .npz pytree."""
-    if not weights:
-        return None
-    if weights.endswith(".pth"):
-        from ..models.efficientnet import EfficientNetSpec
-        if not isinstance(spec, EfficientNetSpec):
-            raise SystemExit("--weights *.pth is the reference torch "
-                             "EfficientNet format; save other backbones "
-                             "as .npz via the trainer")
-        from ..utils.torch_convert import load_checkpoint as load_torch
-        params, _ = load_torch(weights, spec)
-        return params
-    from ..train.checkpoint import load_checkpoint as load_tree
-    params, _, _ = load_tree(weights, restore_host_rng=False)
-    return params
+    """--weights loading shared with serving/server.py (utils/weights.py):
+    reference .pth via the torch converter, a trainer .npz params pytree,
+    or a TrainState resume checkpoint (unwrapped to its EMA params)."""
+    from ..utils.weights import load_params_any
+    return load_params_any(weights, spec)
 
 
 def _analyze_multi(args) -> None:
@@ -65,15 +54,29 @@ def _analyze_multi(args) -> None:
             summaries[i] = {"input": path, "error": "cannot open"}
             return
         n, last = 0, None
-        while True:
-            ret, frame = cap.read()
-            if not ret:
-                break
-            last = engine.analyze(frame, stream_id=path)
-            n += 1
-            if args.max_frames and n >= args.max_frames:
-                break
-        cap.release()
+        try:
+            while True:
+                ret, frame = cap.read()
+                if not ret:
+                    break
+                r = engine.analyze(frame, stream_id=path)
+                if "error" in r:
+                    # a device-tick failure surfaces as {'error': ...}
+                    # (serving/multi.py batcher exception path) — report it
+                    # per-video instead of dying with a KeyError and a null
+                    summaries[i] = {"input": path, "frames": n,
+                                    "error": r["error"]}
+                    return
+                last = r
+                n += 1
+                if args.max_frames and n >= args.max_frames:
+                    break
+        except Exception as e:   # tick timeout etc. — never a null summary
+            summaries[i] = {"input": path, "frames": n,
+                            "error": f"{type(e).__name__}: {e}"}
+            return
+        finally:
+            cap.release()
         summaries[i] = {
             "input": path, "frames": n,
             "final_verdict": last["confidence_level"] if last else "UNCERTAIN",

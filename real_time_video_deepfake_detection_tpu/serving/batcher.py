@@ -282,6 +282,31 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig,
     stream whose crop fails the cascade falls to forensic-only, exactly
     like the reference's `mtcnn(img) is None` branch.
     """
+    detect_prep, step_cfg = _make_detect_prep(net, cfg, mtcnn_params)
+
+    @jax.jit
+    def step(params, frames_capture_u8, active, slot_idx, states):
+        (frames_256, faces_raw, has_face, face_hw, box,
+         n_faces) = detect_prep(frames_capture_u8, active)
+        sub = jax.tree.map(lambda s: s[slot_idx], states)
+        out, new_sub = _step_core(spec, step_cfg, params, frames_256,
+                                  faces_raw, has_face, face_hw, active, sub)
+        new_full = jax.tree.map(
+            lambda full, ns: full.at[slot_idx].set(ns), states, new_sub)
+        out["face_bbox"] = box
+        out["has_face"] = has_face
+        out["faces_detected"] = n_faces
+        return out, new_full
+
+    return step
+
+
+def _make_detect_prep(net, cfg: DetectorConfig, mtcnn_params=None):
+    """The capture->(frames_256, faces, flags, boxes) stage of the detect
+    tick, shared by the single-chip and sharded step builders. Returns
+    (detect_prep, step_cfg) — step_cfg is cfg with clahe_device forced off
+    when the MTCNN path applies CLAHE itself (the reference's
+    CLAHE-then-align order), so the core step never re-applies it."""
     from ..models.ssd_res10 import detect_postprocess_batch
     from ..ops.resize import crop_resize_u8_cv2
 
@@ -300,7 +325,9 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig,
 
     if cfg.ssd_bf16:
         # cast the Caffe graph's conv weights once at build time; the graph
-        # runs bf16 end-to-end until DetectionOutput decodes in f32
+        # runs bf16 end-to-end until DetectionOutput decodes in f32 (only
+        # the traced net._forward call below matters — the copy's public
+        # forward() path is never used)
         import copy
 
         import numpy as np
@@ -310,7 +337,6 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig,
                 if np.asarray(b).dtype in (np.float32, np.float64) else b
                 for b in bl]
             for k, bl in net.weights.items()}
-        net._forward_jit = jax.jit(net._forward)
 
     def detect_prep(frames_capture_u8, active):
         hc, wc = frames_capture_u8.shape[1], frames_capture_u8.shape[2]
@@ -359,22 +385,7 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig,
             faces_raw = mfaces
         return frames_256, faces_raw, has_face, face_hw, box, d["n_faces"]
 
-    @jax.jit
-    def step(params, frames_capture_u8, active, slot_idx, states):
-        (frames_256, faces_raw, has_face, face_hw, box,
-         n_faces) = detect_prep(frames_capture_u8, active)
-        sub = jax.tree.map(lambda s: s[slot_idx], states)
-        out, new_sub = _step_core(spec, step_cfg, params, frames_256,
-                                  faces_raw, has_face, face_hw, active, sub)
-        new_full = jax.tree.map(
-            lambda full, ns: full.at[slot_idx].set(ns), states, new_sub)
-        out["face_bbox"] = box
-        out["has_face"] = has_face
-        out["faces_detected"] = n_faces
-        return out, new_full
-
-    step._detect_prep = detect_prep   # reused by the sharded variant
-    return step
+    return detect_prep, step_cfg
 
 
 def make_sharded_device_step_detect(mesh, net, spec, cfg: DetectorConfig,
@@ -390,10 +401,7 @@ def make_sharded_device_step_detect(mesh, net, spec, cfg: DetectorConfig,
     mesh size. Exercised on the virtual CPU mesh by the driver dryrun."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    detect_prep = make_device_step_detect(
-        net, spec, cfg, mtcnn_params)._detect_prep
-    step_cfg = (dataclasses.replace(cfg, clahe_device=False)
-                if cfg.mtcnn_device else cfg)
+    detect_prep, step_cfg = _make_detect_prep(net, cfg, mtcnn_params)
 
     def body(params, frames_capture_u8, active, states):
         (frames_256, faces_raw, has_face, face_hw, box,

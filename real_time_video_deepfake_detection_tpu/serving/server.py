@@ -296,6 +296,15 @@ def main(argv=None):
         if not args.ssd_weights:
             raise SystemExit("--device-detect requires --ssd-weights "
                              "(res10 caffemodel for the in-tick SSD)")
+        if args.face_backend not in ("auto", "ssd"):
+            # the fused tick always detects with the in-tick SSD; honoring
+            # an explicitly pinned non-SSD rung is impossible here, and
+            # silently overriding it is the failure mode the ladder's
+            # loud-degradation warning exists to prevent (pipeline/faces.py)
+            raise SystemExit(
+                f"--device-detect runs SSD detection inside the device tick "
+                f"and cannot honor --face-backend {args.face_backend}; drop "
+                "the pin (or use 'ssd'), or serve without --device-detect")
         # the reference applies CLAHE to every face crop
         # (deepfake_detection.py:357-370); in device-detect mode the crop
         # never touches the host, so CLAHE must run in the tick — without
@@ -307,20 +316,8 @@ def main(argv=None):
         aligner = MTCNNAligner.from_weights(args.mtcnn_weights)
 
     def _load_params():
-        if not args.weights:
-            return None
-        if args.weights.endswith(".pth"):
-            from ..models.efficientnet import EfficientNetSpec
-            if not isinstance(spec, EfficientNetSpec):
-                raise SystemExit("--weights *.pth is the reference torch "
-                                 "EfficientNet format; save other backbones "
-                                 "as .npz via the trainer")
-            from ..utils.torch_convert import load_checkpoint as load_torch
-            params, _ = load_torch(args.weights, spec)
-            return params
-        from ..train.checkpoint import load_checkpoint as load_tree
-        params, _, _ = load_tree(args.weights, restore_host_rng=False)
-        return params
+        from ..utils.weights import load_params_any
+        return load_params_any(args.weights, spec)
 
     if args.batched:
         from socketserver import ThreadingMixIn

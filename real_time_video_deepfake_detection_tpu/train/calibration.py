@@ -98,7 +98,10 @@ def load_default():
     `rtvdd-train --fit-calibrator` writes it). None when absent/unreadable."""
     base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for cal in (os.path.join(base, "weights", "calibrator.pkl"),
-                os.path.join("weights", "calibrator.pkl")):
+                os.path.join("weights", "calibrator.pkl"),
+                # `rtvdd-train --output-dir D --fit-calibrator` writes
+                # D/calibrator.pkl; serving with CWD=D must find it
+                "calibrator.pkl"):
         if os.path.exists(cal):
             try:
                 return IsotonicCalibrator.load(cal)

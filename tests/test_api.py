@@ -173,6 +173,13 @@ def test_cli_flag_validation_exits():
         (["--device-detect"], "--batched"),
         (["--device-detect", "--batched"], "--ssd-weights"),
         (["--mtcnn-device"], "--device-detect"),
+        # the fused tick always detects with the in-tick SSD: a pinned
+        # non-SSD rung cannot be honored and must be rejected loudly, not
+        # silently overridden
+        (["--device-detect", "--batched", "--ssd-weights", "x.caffemodel",
+          "--face-backend", "haar"], "cannot honor"),
+        (["--device-detect", "--batched", "--ssd-weights", "x.caffemodel",
+          "--face-backend", "heuristic"], "cannot honor"),
     ]:
         with pytest.raises(SystemExit, match=want.replace("-", "[-]")):
             main(argv)

@@ -564,3 +564,30 @@ def test_clip_head_cli_end_to_end(tmp_path):
     finally:
         eng.shutdown()
     assert "clip_probability" in r
+
+
+def test_load_params_any_unwraps_resume_trainstate(tmp_path):
+    """--weights pointed at a RESUME checkpoint (a full TrainState) must
+    serve the EMA parameters — the weights validation scored — instead of
+    handing the whole TrainState to the engine (previously an opaque shape
+    error deep in the first forward). Bare params pytrees load verbatim."""
+    from real_time_video_deepfake_detection_tpu.train.steps import TrainState
+    from real_time_video_deepfake_detection_tpu.utils.weights import (
+        load_params_any,
+    )
+
+    params = {"w": jnp.arange(4.0)}
+    ema = {"w": jnp.arange(4.0) * 2.0}
+    state = TrainState(params=params, opt_state=(), ema_params=ema,
+                       step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.PRNGKey(0))
+    resume = str(tmp_path / "resume.npz")
+    save_checkpoint(resume, state, {"epoch": 1})
+    out = load_params_any(resume, spec=None)
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.asarray(ema["w"]))
+
+    best = str(tmp_path / "best.npz")
+    save_checkpoint(best, ema, {"epoch": 1})
+    out2 = load_params_any(best, spec=None)
+    np.testing.assert_array_equal(np.asarray(out2["w"]), np.asarray(ema["w"]))
+    assert load_params_any(None, spec=None) is None
