@@ -39,7 +39,7 @@ def _analyze_multi(args) -> None:
         sys.exit("--output is single-video only (batch mode writes no "
                  "annotated video); drop it or pass one input")
 
-    spec = backbones.make("b0")
+    spec = backbones.make(args.backbone)
     cfg = DetectorConfig().with_threshold(args.threshold)
     scfg = ServerConfig(detection_threshold=args.threshold,
                         max_streams=max(len(args.input), 2))
@@ -110,6 +110,10 @@ def main(argv=None):
                         "multi-stream engine")
     p.add_argument("--output", default=None, help="annotated output video path")
     p.add_argument("--weights", default=None, help="best_model.pth / .npz")
+    from ..models.backbones import backbone_names
+    p.add_argument("--backbone", default="b0", choices=backbone_names(),
+                   help="classifier backbone the weights were trained for "
+                        "(config 5 swap; must match --weights)")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--max-frames", type=int, default=0, help="0 = all")
     p.add_argument("--json", dest="json_out", default=None,
@@ -128,11 +132,17 @@ def main(argv=None):
     import numpy as np
     import cv2
     from ..core.config import DetectorConfig
+    from ..models import backbones
     from ..pipeline.detector import DeepfakeDetector
 
+    # same checkpoint dispatch as the server and the multi-video path
+    # (.pth via the torch converter, trainer .npz / resume TrainState via
+    # the shared loader) — weights_path= would only handle .pth
+    spec = backbones.make(args.backbone)
     det = DeepfakeDetector(
         DetectorConfig().with_threshold(args.threshold),
-        weights_path=args.weights, enable_gradcam=args.gradcam)
+        params=_load_params(args.weights, spec), spec=spec,
+        enable_gradcam=args.gradcam)
 
     def blend_gradcams(annotated):
         """JET-colormap blend of each face's (224,224) [0,1] heatmap over

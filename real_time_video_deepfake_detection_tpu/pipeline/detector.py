@@ -155,15 +155,28 @@ class DeepfakeDetector:
 
         self._jit_forensic = jax.jit(forensics.analyze_frame)
 
-    # Reference-API attributes (deepfake_detection.py:315-316) — read-only
-    # views of the single config source of truth.
+    # Reference-API attributes (deepfake_detection.py:315-316) — views of
+    # the single config source of truth. The reference exposes them as
+    # plain instance attributes, so assignment must keep working: setters
+    # write through to cfg so the batched tick and the single-stream path
+    # stay in agreement.
     @property
     def face_weight(self) -> float:
         return self.cfg.face_weight
 
+    @face_weight.setter
+    def face_weight(self, v: float) -> None:
+        import dataclasses
+        self.cfg = dataclasses.replace(self.cfg, face_weight=float(v))
+
     @property
     def forensic_weight(self) -> float:
         return self.cfg.forensic_weight
+
+    @forensic_weight.setter
+    def forensic_weight(self, v: float) -> None:
+        import dataclasses
+        self.cfg = dataclasses.replace(self.cfg, forensic_weight=float(v))
 
     # ------------------------------------------------------------------ state
 

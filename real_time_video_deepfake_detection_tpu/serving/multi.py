@@ -37,6 +37,38 @@ from .batcher import (
 from .wsgi import App, Request, Response, jsonify
 
 
+def _jpeg_dims(data: bytes) -> Optional[tuple]:
+    """(h, w) from the JPEG SOF marker — a pure header scan, no decode.
+
+    Used on the device-detect JPEG fast path to learn the client frame's
+    original size before the pooled native decode conforms it to
+    detect_capture_hw, so face_bbox can be returned in the client's
+    coordinate space (reference face_detection.py:84-88). None when the
+    bytes are not parsable JPEG (the decode path 400s those anyway)."""
+    n = len(data)
+    if n < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    i = 2
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        m = data[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:   # standalone markers
+            i += 2
+            continue
+        if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):   # SOFn
+            h = (data[i + 5] << 8) | data[i + 6]
+            w = (data[i + 7] << 8) | data[i + 8]
+            return (h, w) if h and w else None
+        seglen = (data[i + 2] << 8) | data[i + 3]
+        if seglen < 2:
+            return None
+        i += 2 + seglen
+    return None
+
+
 @dataclass
 class _Pending:
     stream_slot: int
@@ -51,6 +83,11 @@ class _Pending:
     # device-detect JPEG fast path: raw bytes; the BATCHER decodes the whole
     # tick's worth in one pooled native call (tick-granular host prep)
     jpeg: Optional[bytes] = None
+    # device-detect mode, off-size capture: the client frame's original
+    # (h, w) so the tick's face_bbox can be returned in the client's
+    # coordinate space (reference face_detection.py:84-88 scales boxes to
+    # the input frame), not in detect_capture_hw space
+    orig_hw: Optional[tuple] = None
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     t_start: float = 0.0
@@ -341,7 +378,10 @@ class MultiStreamEngine:
         if self._detect_steps is not None:
             t0 = time.time()
             slot = self.slot_for(stream_id)
-            p = _Pending(stream_slot=slot, jpeg=data, t_start=t0)
+            dims = _jpeg_dims(data)
+            ch, cw = self.server_cfg.detect_capture_hw
+            p = _Pending(stream_slot=slot, jpeg=data, t_start=t0,
+                         orig_hw=dims if dims and dims != (ch, cw) else None)
             with self.queue_cv:
                 self.queue.append(p)
                 self.queue_cv.notify()
@@ -385,13 +425,16 @@ class MultiStreamEngine:
 
         if self._detect_steps is not None:
             ch, cw = self.server_cfg.detect_capture_hw
+            orig_hw = None
             if frame_bgr.shape[:2] != (ch, cw):
                 # off-size capture: conform on host (bit-exact cv2 resize);
-                # returned bbox coords are then in capture-frame space
+                # the tick's bbox is scaled back to the client frame at
+                # response assembly (orig_hw)
+                orig_hw = frame_bgr.shape[:2]
                 from ..utils.host_resize import resize_analysis
                 frame_bgr = resize_analysis(frame_bgr, ch, cw)
             p = _Pending(stream_slot=slot, frame_capture=frame_bgr,
-                         t_start=t0)
+                         orig_hw=orig_hw, t_start=t0)
             with self.queue_cv:
                 self.queue.append(p)
                 self.queue_cv.notify()
@@ -665,6 +708,16 @@ class MultiStreamEngine:
                 bbox = (p.bbox if p.bbox is not None
                         else tuple(int(v) for v in out["face_bbox"][i]))
                 x, y, fw, fh = bbox
+                if p.bbox is None and p.orig_hw is not None:
+                    # device-detect tick box is in detect_capture_hw space;
+                    # scale back to the client's frame so overlays land
+                    # where the reference would put them
+                    oh, ow = p.orig_hw
+                    ch, cw = self.server_cfg.detect_capture_hw
+                    x = max(0, min(int(round(x * ow / cw)), ow - 1))
+                    y = max(0, min(int(round(y * oh / ch)), oh - 1))
+                    fw = max(1, min(int(round(fw * ow / cw)), ow - x))
+                    fh = max(1, min(int(round(fh * oh / ch)), oh - y))
                 resp["face_bbox"] = {"x": int(x), "y": int(y),
                                      "width": int(fw), "height": int(fh)}
             if "clip_probability" in out:   # clip-attention mode (config 5)

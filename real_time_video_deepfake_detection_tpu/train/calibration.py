@@ -104,7 +104,16 @@ def load_default():
                 "calibrator.pkl"):
         if os.path.exists(cal):
             try:
-                return IsotonicCalibrator.load(cal)
+                loaded = IsotonicCalibrator.load(cal)
             except Exception:
-                pass
+                continue
+            # Loud by design: an auto-loaded calibrator remaps every served
+            # fake_probability (it is compiled into the batched tick), so a
+            # stale calibrator.pkl left in the CWD must be visible in logs.
+            import logging
+            logging.getLogger(__name__).warning(
+                "probability calibrator auto-loaded from %s — applied to "
+                "ALL face probabilities; delete the file or move it to "
+                "disable", os.path.abspath(cal))
+            return loaded
     return None

@@ -206,3 +206,20 @@ def test_endurance_50_frames(detector):
         _, _, _, data = detector.predict(frame)
     assert data["frame_count"] == 50
     assert detector.temporal_tracker.get_voting_stats()["total_frames"] == 10
+
+
+def test_fusion_weights_assignable(detector):
+    """Reference code mutates face_weight/forensic_weight as plain instance
+    attributes (deepfake_detection.py:315-316); the properties must accept
+    assignment and write through to the single cfg source of truth (what
+    the batched tick reads)."""
+    old = detector.face_weight
+    try:
+        detector.face_weight = 0.6
+        detector.forensic_weight = 0.4
+        assert detector.face_weight == 0.6
+        assert detector.cfg.face_weight == 0.6
+        assert detector.cfg.forensic_weight == 0.4
+    finally:
+        detector.face_weight = old
+        detector.forensic_weight = 1.0 - old

@@ -354,3 +354,92 @@ def test_engine_device_detect_streams_and_reset(synth_ssd):
     r = eng.analyze(f0, "a")
     assert r["frame_count"] == 1
     eng.shutdown()
+
+
+def test_jpeg_dims_header_scan():
+    """_jpeg_dims reads (h, w) from the SOF marker without decoding — the
+    device-detect JPEG path uses it to return face_bbox in the client's
+    frame coordinates when the capture is conformed."""
+    import cv2
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        _jpeg_dims,
+    )
+
+    for shape in ((480, 640), (250, 330), (720, 1280), (31, 17)):
+        img = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        assert _jpeg_dims(enc.tobytes()) == shape
+        # progressive JPEGs carry SOF2 instead of SOF0
+        ok, enc = cv2.imencode(
+            ".jpg", img, [cv2.IMWRITE_JPEG_PROGRESSIVE, 1])
+        assert ok
+        assert _jpeg_dims(enc.tobytes()) == shape
+    assert _jpeg_dims(b"") is None
+    assert _jpeg_dims(b"\xff\xd8garbage-not-a-jpeg") is None
+    assert _jpeg_dims(b"PNG...definitely not") is None
+
+
+@pytest.mark.slow
+def test_device_detect_offsize_bbox_in_client_coords(synth_ssd):
+    """An off-size capture is conformed to detect_capture_hw for the tick,
+    but face_bbox must come back in the CLIENT frame's coordinate space
+    (reference face_detection.py:84-88 scales boxes to the input frame) —
+    for both the raw-frame and the JPEG entry points."""
+    import cv2
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig, ServerConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        MultiStreamEngine,
+    )
+
+    eng = MultiStreamEngine(
+        DetectorConfig().with_threshold(0.55),
+        ServerConfig(max_streams=8, max_batch=4, batch_timeout_ms=2.0,
+                     min_request_interval=0.0, device_detect=True),
+        ssd_net=synth_ssd.net)
+    try:
+        # find a capture-size frame the synthetic SSD detects a face on
+        small = None
+        for seed in range(24):
+            f = np.random.default_rng(seed).integers(
+                0, 256, (480, 640, 3), dtype=np.uint8)
+            r = eng.analyze(f, f"probe{seed}")
+            if "face_bbox" in r:
+                small, r_small = f, r
+                break
+        assert small is not None, "synthetic SSD found no face in 24 frames"
+
+        # exact-2x nearest upsample: the cv2-parity conform resize averages
+        # each 2x2 duplicate block back to the original pixel, so the tick
+        # sees the IDENTICAL capture frame and the box must scale by 2
+        big = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+        r_big = eng.analyze(big, "big")
+        bs, bb = r_small["face_bbox"], r_big["face_bbox"]
+        assert bb["x"] == 2 * bs["x"] and bb["y"] == 2 * bs["y"]
+        assert bb["width"] == 2 * bs["width"]
+        assert bb["height"] == 2 * bs["height"]
+        # everything else is frame-space-independent
+        assert r_big["fake_probability"] == pytest.approx(
+            r_small["fake_probability"], abs=1e-6)
+
+        # JPEG entry point: native decode+resize is bit-exact vs cv2
+        # (tests/test_native_ingest.py), so the box must equal the raw-frame
+        # path's on the decoded bytes
+        ok, enc = cv2.imencode(".jpg", big)
+        assert ok
+        data = enc.tobytes()
+        r_jpeg = eng.analyze_jpeg(data, "jpeg")
+        decoded = cv2.imdecode(np.frombuffer(data, np.uint8),
+                               cv2.IMREAD_COLOR)
+        r_dec = eng.analyze(decoded, "decoded")
+        assert r_jpeg.get("face_bbox") == r_dec.get("face_bbox")
+        if "face_bbox" in r_jpeg:
+            fb = r_jpeg["face_bbox"]
+            assert 0 <= fb["x"] < big.shape[1]
+            assert 0 <= fb["y"] < big.shape[0]
+            assert fb["x"] + fb["width"] <= big.shape[1]
+            assert fb["y"] + fb["height"] <= big.shape[0]
+    finally:
+        eng.shutdown()

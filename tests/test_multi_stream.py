@@ -510,3 +510,38 @@ def test_latency_mode_max_batch_splits_ticks_identically():
                     np.testing.assert_allclose(a[k], b[k], atol=1e-6,
                                                err_msg=f"{name} {k}")
             assert a["confidence_level"] == b["confidence_level"]
+
+
+@pytest.mark.slow
+def test_analyze_cli_single_video_npz_weights(tmp_path):
+    """--weights with a trainer .npz must go through the shared loader in
+    the SINGLE-video path too (review finding: it previously routed to the
+    torch .pth converter and crashed before the first frame)."""
+    import contextlib
+    import json as _json
+
+    import jax
+    from real_time_video_deepfake_detection_tpu.cli import analyze
+    from real_time_video_deepfake_detection_tpu.models import backbones
+    from real_time_video_deepfake_detection_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+
+    params = backbones.init_params(jax.random.PRNGKey(0), backbones.make("b0"))
+    npz = str(tmp_path / "best.npz")
+    save_checkpoint(npz, params, {"epoch": 1})
+
+    rng_l = np.random.default_rng(3)
+    p = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 5, (160, 120))
+    for _ in range(3):
+        w.write(rng_l.integers(0, 256, (120, 160, 3), dtype=np.uint8))
+    w.release()
+
+    js = str(tmp_path / "out.json")
+    with contextlib.redirect_stdout(io.StringIO()):
+        analyze.main([p, "--weights", npz, "--backbone", "b0",
+                      "--json", js, "--max-frames", "2"])
+    r = _json.load(open(js))
+    assert r["summary"]["frames"] == 2
+    assert r["summary"]["final_verdict"] in ("REAL", "FAKE", "UNCERTAIN")
