@@ -21,6 +21,12 @@ Artifacts:
          first)
   mtcnn  pnet.pt / rnet.pt / onet.pt (facenet-pytorch's published weights;
          serve with `--mtcnn-weights weights/mtcnn [--mtcnn-device]`)
+  effnet_b0_imagenet
+         efficientnet-b0-355c32eb.pth — the ImageNet init the reference's
+         model constructor downloads via EfficientNet.from_pretrained
+         (reference model.py:40-41); train with `--pretrained` to start
+         from it, exactly as every reference training run does
+         (reference train.py:841)
 
 Checksum note: upstream republishes some of these files (branch moves), so
 instead of pinning hashes that rot, verification parses the bytes with the
@@ -69,7 +75,10 @@ def _verify_mtcnn_pt(net: str):
         import jax
         import torch
         from ..models.mtcnn import convert_facenet_state_dict
-        sd = torch.load(path, map_location="cpu", weights_only=False)
+        # weights_only=True: facenet's pnet/rnet/onet .pt files are plain
+        # tensor state dicts, so verification never unpickles arbitrary
+        # objects from a just-downloaded file.
+        sd = torch.load(path, map_location="cpu", weights_only=True)
         params = convert_facenet_state_dict(
             {k: v.numpy() for k, v in sd.items()}, net)
         n = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
@@ -77,10 +86,27 @@ def _verify_mtcnn_pt(net: str):
     return check
 
 
+def _verify_effnet_imagenet(path: str) -> str:
+    """Parse a bare efficientnet_pytorch/timm ImageNet checkpoint with the
+    converter that the trainer's --pretrained path will use."""
+    import jax
+    import torch
+    from ..models.efficientnet import EfficientNetSpec
+    from ..utils.torch_convert import convert_imagenet_state_dict
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    params = convert_imagenet_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, EfficientNetSpec.make("b0"),
+        jax.random.PRNGKey(0))
+    n = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    return f"b0 imagenet backbone + fresh head: {n} params"
+
+
 _OPENCV_RAW = "https://raw.githubusercontent.com/opencv/opencv/4.x"
 _OPENCV_3RD = ("https://raw.githubusercontent.com/opencv/opencv_3rdparty/"
                "dnn_samples_face_detector_20180205_fp16")
 _FACENET_RAW = "https://raw.githubusercontent.com/timesler/facenet-pytorch/master"
+_EFFNET_REL = ("https://github.com/lukemelas/EfficientNet-PyTorch/releases/"
+               "download/1.0")
 
 # name -> list of (filename, url, verifier)
 ARTIFACTS = {
@@ -103,6 +129,23 @@ ARTIFACTS = {
          _verify_mtcnn_pt(net))
         for net in ("pnet", "rnet", "onet")
     ],
+    # The ImageNet-pretrained B0 the reference's constructor requires
+    # (reference model.py:40-41 EfficientNet.from_pretrained): the
+    # efficientnet_pytorch release artifact. The torch-hub filename suffix
+    # (355c32eb) is the leading 8 hex chars of the file's sha256, which the
+    # fetcher checks as a built-in pin.
+    "effnet_b0_imagenet": [
+        ("efficientnet-b0-355c32eb.pth",
+         f"{_EFFNET_REL}/efficientnet-b0-355c32eb.pth",
+         _verify_effnet_imagenet),
+    ],
+}
+
+# torch-hub naming convention: <name>-<sha256[:8]>.<ext>. Checked on every
+# fetch AND on resume-by-existence, so a stale/corrupt present file cannot
+# report success.
+_BUILTIN_SHA256_PREFIX = {
+    "efficientnet-b0-355c32eb.pth": "355c32eb",
 }
 
 
@@ -136,16 +179,45 @@ def download(url: str, dest: str, retries: int = 4,
             delay = min(delay * 2, 300.0)
 
 
+def _check_file(dest: str, fname: str, verify, want: str | None) -> str:
+    """Pin-check (full sha256 or torch-hub 8-hex prefix) then structurally
+    verify `dest`. Returns the verifier's detail string; raises on mismatch."""
+    base = os.path.basename(fname)
+    digest = None
+    if want or base in _BUILTIN_SHA256_PREFIX:
+        with open(dest, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+    if want and digest != want:
+        raise ValueError(f"sha256 {digest} != pinned {want}")
+    prefix = _BUILTIN_SHA256_PREFIX.get(base)
+    if prefix and not digest.startswith(prefix):
+        raise ValueError(
+            f"sha256 {digest[:8]}... != torch-hub filename prefix {prefix}")
+    return verify(dest)
+
+
 def fetch(names, dest_dir: str, force: bool = False, dry_run: bool = False,
           sha256: dict | None = None) -> int:
-    """Fetch + verify the named artifact groups. Returns count of failures."""
+    """Fetch + verify the named artifact groups. Returns count of failures.
+
+    Already-present files are NOT trusted: they re-run the pin check and the
+    structural verifier (so `--sha256` pins apply to resumed runs too), and
+    only re-download on --force."""
     sha256 = sha256 or {}
     failures = 0
     for name in names:
         for fname, url, verify in ARTIFACTS[name]:
             dest = os.path.join(dest_dir, fname)
             if os.path.exists(dest) and not force:
-                print(f"[skip] {fname} exists")
+                try:
+                    detail = _check_file(dest, fname,
+                                         verify, sha256.get(os.path.basename(fname)))
+                    print(f"[ok] {fname} already present, verified ({detail})")
+                except Exception as e:
+                    print(f"[FAIL] {fname}: present but failed verification "
+                          f"({type(e).__name__}: {e}); re-run with --force "
+                          f"to replace")
+                    failures += 1
                 continue
             if name == "haar" and not force:
                 # the cv2 wheel usually ships this file already
@@ -169,19 +241,12 @@ def fetch(names, dest_dir: str, force: bool = False, dry_run: bool = False,
                 print(f"[FAIL] {fname}: download failed: {e}")
                 failures += 1
                 continue
-            want = sha256.get(os.path.basename(fname))
-            if want:
-                got = hashlib.sha256(open(dest, "rb").read()).hexdigest()
-                if got != want:
-                    print(f"[FAIL] {fname}: sha256 {got} != pinned {want}")
-                    os.remove(dest)
-                    failures += 1
-                    continue
             try:
-                detail = verify(dest)
+                detail = _check_file(dest, fname,
+                                     verify, sha256.get(os.path.basename(fname)))
             except Exception as e:
-                print(f"[FAIL] {fname}: downloaded but failed structural "
-                      f"verification ({type(e).__name__}: {e}); removing")
+                print(f"[FAIL] {fname}: downloaded but failed verification "
+                      f"({type(e).__name__}: {e}); removing")
                 os.remove(dest)
                 failures += 1
                 continue

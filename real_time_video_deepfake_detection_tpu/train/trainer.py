@@ -154,6 +154,29 @@ def train(args) -> dict:
     tx = make_optimizer(cfg, total_steps, spec=spec)
 
     params = backbones.init_params(jax.random.PRNGKey(cfg.seed), spec)
+    if getattr(args, "pretrained", None) and not args.warm_start:
+        from ..models.efficientnet import EfficientNetSpec
+        if not isinstance(spec, EfficientNetSpec):
+            raise ValueError("--pretrained loads an ImageNet EfficientNet "
+                             ".pth; use --warm-start with an .npz pytree "
+                             "for other backbones")
+        path = args.pretrained
+        if path == "auto":
+            cands = [os.path.join(d, f"efficientnet-{spec.variant}-355c32eb.pth")
+                     for d in (args.output_dir, "weights")]
+            cands = [c for c in cands if os.path.exists(c)]
+            if not cands:
+                raise FileNotFoundError(
+                    "--pretrained: no ImageNet .pth found; fetch it with "
+                    "`rtvdd-fetch-weights --only effnet_b0_imagenet` or "
+                    "pass an explicit path")
+            path = cands[0]
+        from ..utils.torch_convert import load_imagenet_checkpoint
+        params = load_imagenet_checkpoint(
+            path, spec, jax.random.PRNGKey(cfg.seed))
+        print(f"  ImageNet-pretrained backbone from {path} "
+              f"(fresh {spec.head_filters}->512->256->1 head, "
+              f"reference model.py:40-61 init)")
     if args.warm_start and os.path.exists(args.warm_start):
         if args.warm_start.endswith(".pth"):
             from ..models.efficientnet import EfficientNetSpec
@@ -318,6 +341,16 @@ def main(argv=None):
     p.add_argument("--fresh", action="store_true", help="ignore resume checkpoint")
     p.add_argument("--warm-start", default=None,
                    help="best_model.pth (torch) or .npz to initialize from")
+    p.add_argument("--pretrained", nargs="?", const="auto", default=None,
+                   metavar="IMAGENET_PTH",
+                   help="start from an ImageNet-pretrained backbone + fresh "
+                        "head, exactly what the reference's model "
+                        "constructor does on EVERY run including --fresh "
+                        "(model.py:40-41, train.py:841). Accepts an "
+                        "efficientnet_pytorch release .pth or a timm "
+                        "state dict; bare flag looks for the "
+                        "rtvdd-fetch-weights effnet_b0_imagenet artifact "
+                        "in --output-dir then ./weights")
     p.add_argument("--output-dir", default="weights")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 forward/backward with f32 master params (the "

@@ -24,7 +24,13 @@ from ..models.efficientnet import EfficientNetSpec, init_params
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a torch checkpoint file into numpy arrays (host-side only)."""
     import torch  # local import: torch is a host-side tool, not a dependency
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Reference checkpoints may embed non-primitive metadata (e.g. an
+        # argparse.Namespace under 'config'); fall back to a full unpickle
+        # for these operator-supplied local files only.
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return {k: v.detach().cpu().numpy() for k, v in state.items()}, (
         ckpt if isinstance(ckpt, dict) else {})
@@ -48,9 +54,9 @@ def _linear(sd, prefix):
             "b": jnp.asarray(sd[f"{prefix}.bias"])}
 
 
-def convert_state_dict(sd: Mapping[str, np.ndarray],
-                       spec: EfficientNetSpec) -> Dict[str, Any]:
-    """torch state dict (reference naming) -> JAX param pytree."""
+def _convert_backbone(sd: Mapping[str, np.ndarray],
+                      spec: EfficientNetSpec) -> Dict[str, Any]:
+    """Backbone (stem/blocks/head-conv) from reference-naming keys."""
     params: Dict[str, Any] = {
         "stem": {"conv": _conv(sd, "net._conv_stem.weight"),
                  "bn": _bn(sd, "net._bn0")},
@@ -73,7 +79,13 @@ def convert_state_dict(sd: Mapping[str, np.ndarray],
         blk["project"] = _conv(sd, f"{p}._project_conv.weight")
         blk["bn2"] = _bn(sd, f"{p}._bn2")
         params["blocks"].append(blk)
+    return params
 
+
+def convert_state_dict(sd: Mapping[str, np.ndarray],
+                       spec: EfficientNetSpec) -> Dict[str, Any]:
+    """torch state dict (reference naming) -> JAX param pytree."""
+    params = _convert_backbone(sd, spec)
     params["fc"] = {
         "fc1": _linear(sd, "net._fc.1"),
         "bn1": _bn(sd, "net._fc.2"),
@@ -82,6 +94,119 @@ def convert_state_dict(sd: Mapping[str, np.ndarray],
         "fc3": _linear(sd, "net._fc.9"),
     }
     return params
+
+
+# ------------------------------------------------- ImageNet-pretrained inits
+
+def _stage_indices(spec: EfficientNetSpec):
+    """flat block index -> (stage, within-stage) for timm's nested naming."""
+    from ..models.efficientnet import _B0_BLOCKS, _SCALING, round_repeats
+    depth = _SCALING[spec.variant][1]
+    out = []
+    for s, (r, *_rest) in enumerate(_B0_BLOCKS):
+        for j in range(round_repeats(r, depth)):
+            out.append((s, j))
+    assert len(out) == len(spec.blocks)
+    return out
+
+
+def detect_state_dict_schema(sd: Mapping[str, np.ndarray]) -> str:
+    """'reference' (net._* + 5-layer custom head), 'effnet_pytorch'
+    (bare _conv_stem.* ImageNet release file, single-Linear _fc), or
+    'timm' (conv_stem.* / blocks.{s}.{j}.*)."""
+    if "net._conv_stem.weight" in sd:
+        return "reference"
+    if "_conv_stem.weight" in sd:
+        return "effnet_pytorch"
+    if "conv_stem.weight" in sd:
+        return "timm"
+    raise ValueError(
+        "unrecognized EfficientNet state-dict schema; expected reference "
+        "(net._*), efficientnet_pytorch (_conv_stem.*) or timm "
+        f"(conv_stem.*) keys, got e.g. {sorted(sd)[:3]}")
+
+
+def _timm_to_effnet_keys(sd: Mapping[str, np.ndarray],
+                         spec: EfficientNetSpec) -> Dict[str, np.ndarray]:
+    """Rename a timm efficientnet_{variant} ImageNet state dict to the
+    efficientnet_pytorch backbone naming (bare `_conv_stem.*` style)."""
+    out: Dict[str, np.ndarray] = {"_conv_stem.weight": sd["conv_stem.weight"]}
+    bnmap = ("weight", "bias", "running_mean", "running_var")
+    for a in bnmap:
+        out[f"_bn0.{a}"] = sd[f"bn1.{a}"]
+    for i, ((s, j), b) in enumerate(zip(_stage_indices(spec), spec.blocks)):
+        t = f"blocks.{s}.{j}"
+        p = f"_blocks.{i}"
+        if b.expand == 1:
+            # timm DepthwiseSeparableConv: conv_dw/bn1, se, conv_pw/bn2
+            out[f"{p}._depthwise_conv.weight"] = sd[f"{t}.conv_dw.weight"]
+            for a in bnmap:
+                out[f"{p}._bn1.{a}"] = sd[f"{t}.bn1.{a}"]
+            out[f"{p}._project_conv.weight"] = sd[f"{t}.conv_pw.weight"]
+            for a in bnmap:
+                out[f"{p}._bn2.{a}"] = sd[f"{t}.bn2.{a}"]
+        else:
+            # timm InvertedResidual: conv_pw/bn1, conv_dw/bn2, se, conv_pwl/bn3
+            out[f"{p}._expand_conv.weight"] = sd[f"{t}.conv_pw.weight"]
+            for a in bnmap:
+                out[f"{p}._bn0.{a}"] = sd[f"{t}.bn1.{a}"]
+            out[f"{p}._depthwise_conv.weight"] = sd[f"{t}.conv_dw.weight"]
+            for a in bnmap:
+                out[f"{p}._bn1.{a}"] = sd[f"{t}.bn2.{a}"]
+            out[f"{p}._project_conv.weight"] = sd[f"{t}.conv_pwl.weight"]
+            for a in bnmap:
+                out[f"{p}._bn2.{a}"] = sd[f"{t}.bn3.{a}"]
+        out[f"{p}._se_reduce.weight"] = sd[f"{t}.se.conv_reduce.weight"]
+        out[f"{p}._se_reduce.bias"] = sd[f"{t}.se.conv_reduce.bias"]
+        out[f"{p}._se_expand.weight"] = sd[f"{t}.se.conv_expand.weight"]
+        out[f"{p}._se_expand.bias"] = sd[f"{t}.se.conv_expand.bias"]
+    out["_conv_head.weight"] = sd["conv_head.weight"]
+    for a in bnmap:
+        out[f"_bn1.{a}"] = sd[f"bn2.{a}"]
+    return out
+
+
+def convert_imagenet_state_dict(sd: Mapping[str, np.ndarray],
+                                spec: EfficientNetSpec,
+                                rng) -> Dict[str, Any]:
+    """Bare ImageNet EfficientNet state dict -> our param tree with the
+    pretrained backbone and a FRESHLY-initialized 1280->512->256->1 head.
+
+    This is what the reference's model constructor does: it downloads the
+    efficientnet_pytorch ImageNet weights (`EfficientNet.from_pretrained`,
+    reference model.py:40-41) and replaces `_fc` with the custom head
+    (model.py:48-61) — every training run, including --fresh
+    (reference train.py:841), starts from this init.
+
+    Accepts either the efficientnet_pytorch release schema
+    (`_conv_stem.weight`, single-Linear `_fc.{weight,bias}`) or a timm
+    `efficientnet_{variant}` state dict; the 1000-class ImageNet classifier
+    is discarded in both cases.
+    """
+    schema = detect_state_dict_schema(sd)
+    if schema == "reference":
+        return convert_state_dict(sd, spec)
+    if schema == "timm":
+        sd = _timm_to_effnet_keys(sd, spec)
+    sd_ref = {f"net.{k}": v for k, v in sd.items()
+              if not k.startswith("_fc.") and not k.startswith("classifier.")}
+    params = _convert_backbone(sd_ref, spec)
+    params["fc"] = init_params(rng, spec)["fc"]
+    return params
+
+
+def load_imagenet_checkpoint(path: str, spec: EfficientNetSpec | None = None,
+                             rng=None):
+    """Load an ImageNet .pth (efficientnet_pytorch or timm naming) into
+    (backbone-pretrained, head-fresh) params. torch is used only to
+    deserialize (weights_only=True: these files are plain tensor dicts)."""
+    import jax
+    import torch
+    spec = spec or EfficientNetSpec.make("b0")
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_imagenet_state_dict(
+        {k: v.detach().cpu().numpy() for k, v in sd.items()}, spec, rng)
 
 
 def load_checkpoint(path: str, spec: EfficientNetSpec | None = None):
@@ -137,19 +262,13 @@ def export_state_dict(params, spec: EfficientNetSpec) -> Dict[str, np.ndarray]:
     return sd
 
 
-def build_torch_reference_predictor(sd: Mapping[str, np.ndarray],
-                                    spec: EfficientNetSpec | None = None):
-    """Build the reference's torch inference path from a reference-naming
-    state dict: transformers' EfficientNet (an independent TF-faithful torch
+def load_transformers_backbone(sd: Mapping[str, np.ndarray],
+                               spec: EfficientNetSpec | None = None):
+    """Load a reference-naming (`net._*`) backbone state dict into
+    transformers' torch EfficientNetModel — an independent TF-faithful torch
     implementation standing in for efficientnet_pytorch, which is not
-    installed here) + the custom 1280->512->256->1 head (model.py:48-61),
-    with the reference's preprocessing (deepfake_detection.py:382-398:
-    bilinear resize 224, /255, ImageNet normalize, sigmoid).
-
-    Returns predict(aligned_rgb_160: (160,160,3) f32 raw 0-255) -> float.
-    Used by the end-to-end weight drill to check checkpoint->server->JSON
-    probabilities against the torch-computed path.
-    """
+    installed here. Used by parity tests and the weight drill as the trusted
+    donor forward."""
     import torch
     from transformers import EfficientNetConfig
     from transformers.models.efficientnet.modeling_efficientnet import (
@@ -157,9 +276,14 @@ def build_torch_reference_predictor(sd: Mapping[str, np.ndarray],
     )
 
     spec = spec or EfficientNetSpec.make("b0")
+    width, depth = {"b0": (1.0, 1.0)}.get(spec.variant, (None, None))
+    if width is None:
+        from ..models.efficientnet import _SCALING
+        width, depth = _SCALING[spec.variant][:2]
     cfg = EfficientNetConfig(
-        width_coefficient=1.0, depth_coefficient=1.0, image_size=224,
-        hidden_dim=spec.head_filters, pooling_type="mean", hidden_act="swish")
+        width_coefficient=width, depth_coefficient=depth,
+        image_size=spec.resolution, hidden_dim=spec.head_filters,
+        pooling_type="mean", hidden_act="swish")
     tm = EfficientNetModel(cfg).eval()
 
     mapping = {"embeddings.convolution.weight": "net._conv_stem.weight"}
@@ -193,6 +317,25 @@ def build_torch_reference_predictor(sd: Mapping[str, np.ndarray],
             continue
         new_sd[tk] = torch.from_numpy(np.ascontiguousarray(sd[mapping[tk]]))
     tm.load_state_dict(new_sd)
+    return tm
+
+
+def build_torch_reference_predictor(sd: Mapping[str, np.ndarray],
+                                    spec: EfficientNetSpec | None = None):
+    """Build the reference's torch inference path from a reference-naming
+    state dict: transformers' EfficientNet (see load_transformers_backbone)
+    + the custom 1280->512->256->1 head (model.py:48-61),
+    with the reference's preprocessing (deepfake_detection.py:382-398:
+    bilinear resize 224, /255, ImageNet normalize, sigmoid).
+
+    Returns predict(aligned_rgb_160: (160,160,3) f32 raw 0-255) -> float.
+    Used by the end-to-end weight drill to check checkpoint->server->JSON
+    probabilities against the torch-computed path.
+    """
+    import torch
+
+    spec = spec or EfficientNetSpec.make("b0")
+    tm = load_transformers_backbone(sd, spec)
 
     def lin(prefix):
         m = torch.nn.Linear(sd[f"{prefix}.weight"].shape[1],
@@ -232,6 +375,69 @@ def build_torch_reference_predictor(sd: Mapping[str, np.ndarray],
         return float(torch.sigmoid(logit[0, 0]))
 
     return predict
+
+
+def make_imagenet_shaped_state_dict(spec: EfficientNetSpec, seed: int = 0,
+                                    schema: str = "effnet_pytorch"):
+    """Synthesize a random ImageNet-release-shaped state dict (no real
+    download available in this environment) with the exact key/shape schema
+    of efficientnet_pytorch's `efficientnet-{variant}-*.pth` or a timm
+    `efficientnet_{variant}` checkpoint — used to test the --pretrained
+    conversion path."""
+    import jax
+    rs = np.random.RandomState(seed)
+    params = init_params(jax.random.PRNGKey(seed), spec)
+    full = export_state_dict(params, spec)
+    bare = {k[len("net."):]: v for k, v in full.items()
+            if not k.startswith("net._fc.")}
+    n_cls = 1000
+    if schema == "effnet_pytorch":
+        bare["_fc.weight"] = rs.randn(n_cls, spec.head_filters).astype(np.float32)
+        bare["_fc.bias"] = rs.randn(n_cls).astype(np.float32)
+        return bare
+    if schema != "timm":
+        raise ValueError(f"unknown schema {schema!r}")
+    # invert _timm_to_effnet_keys via a probe whose values are the timm names
+    probe = {k: k for k in _timm_shaped_keys(spec)}
+    inv = _timm_to_effnet_keys(probe, spec)  # effnet key -> timm key
+    out = {inv[k]: v for k, v in bare.items() if k in inv}
+    out["classifier.weight"] = rs.randn(n_cls, spec.head_filters).astype(np.float32)
+    out["classifier.bias"] = rs.randn(n_cls).astype(np.float32)
+    return out
+
+
+def _timm_shaped_keys(spec: EfficientNetSpec):
+    """All timm state-dict key names for this variant (values unused)."""
+    bnmap = ("weight", "bias", "running_mean", "running_var")
+    yield "conv_stem.weight"
+    for a in bnmap:
+        yield f"bn1.{a}"
+    for (s, j), b in zip(_stage_indices(spec), spec.blocks):
+        t = f"blocks.{s}.{j}"
+        if b.expand == 1:
+            yield f"{t}.conv_dw.weight"
+            for a in bnmap:
+                yield f"{t}.bn1.{a}"
+            yield f"{t}.conv_pw.weight"
+            for a in bnmap:
+                yield f"{t}.bn2.{a}"
+        else:
+            yield f"{t}.conv_pw.weight"
+            for a in bnmap:
+                yield f"{t}.bn1.{a}"
+            yield f"{t}.conv_dw.weight"
+            for a in bnmap:
+                yield f"{t}.bn2.{a}"
+            yield f"{t}.conv_pwl.weight"
+            for a in bnmap:
+                yield f"{t}.bn3.{a}"
+        yield f"{t}.se.conv_reduce.weight"
+        yield f"{t}.se.conv_reduce.bias"
+        yield f"{t}.se.conv_expand.weight"
+        yield f"{t}.se.conv_expand.bias"
+    yield "conv_head.weight"
+    for a in bnmap:
+        yield f"bn2.{a}"
 
 
 def make_reference_shaped_state_dict(spec: EfficientNetSpec, seed: int = 0):

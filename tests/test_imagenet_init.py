@@ -1,0 +1,213 @@
+"""ImageNet-pretrained backbone initialization (round-4 verdict item #1).
+
+The reference builds its model with EfficientNet.from_pretrained
+('efficientnet-b0') — reference model.py:40-41 — and EVERY training run,
+including --fresh, starts from those ImageNet weights (train.py:841).
+These tests cover the whole path on this side: accepting a bare
+efficientnet_pytorch release .pth or a timm state dict
+(utils/torch_convert.convert_imagenet_state_dict), a fresh
+1280->512->256->1 head (model.py:48-61 semantics), donor forward parity
+against an independent torch implementation, the rtvdd-fetch-weights
+effnet_b0_imagenet artifact verifier, and the trainer's --pretrained flag.
+
+No real download is possible in this environment (zero egress), so the
+state dicts are synthesized with the exact release key/shape schema; the
+network-gated tier (tests/test_real_artifacts.py) covers the real files
+when a network exists.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from real_time_video_deepfake_detection_tpu.models.efficientnet import (
+    EfficientNetSpec, extract_features, init_params,
+)
+from real_time_video_deepfake_detection_tpu.utils import torch_convert as tc
+
+SPEC = EfficientNetSpec.make("b0")
+
+
+def _leaves_equal(a, b):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    return len(la) == len(lb) and all(
+        np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb))
+
+
+@pytest.mark.parametrize("schema", ["effnet_pytorch", "timm"])
+def test_imagenet_convert_roundtrip_exact(schema):
+    """Synthesize a release-schema ImageNet state dict from known params;
+    converting it back must reproduce the backbone bit-exactly, discard the
+    1000-class classifier, and install a fresh head from the supplied rng —
+    exactly the reference constructor's behavior (model.py:40-61)."""
+    orig = init_params(jax.random.PRNGKey(7), SPEC)
+    sd = tc.make_imagenet_shaped_state_dict(SPEC, seed=7, schema=schema)
+    assert tc.detect_state_dict_schema(sd) == schema
+    p = tc.convert_imagenet_state_dict(sd, SPEC, jax.random.PRNGKey(3))
+    for part in ("stem", "blocks", "head"):
+        assert _leaves_equal(p[part], orig[part]), part
+    fresh_fc = init_params(jax.random.PRNGKey(3), SPEC)["fc"]
+    assert _leaves_equal(p["fc"], fresh_fc)
+    # and NOT the ImageNet classifier weights
+    assert p["fc"]["fc3"]["w"].shape == (256, 1)
+
+
+def test_imagenet_convert_rejects_unknown_schema():
+    with pytest.raises(ValueError, match="schema"):
+        tc.detect_state_dict_schema({"foo.weight": np.zeros(1)})
+
+
+def test_imagenet_convert_accepts_reference_schema_passthrough():
+    """A full reference-schema dict (net._* + custom head) converts via the
+    existing converter — operators can hand --pretrained a full checkpoint's
+    state dict without it being mangled."""
+    sd = tc.make_reference_shaped_state_dict(SPEC, seed=1)
+    p = tc.convert_imagenet_state_dict(sd, SPEC, jax.random.PRNGKey(0))
+    q = tc.convert_state_dict(sd, SPEC)
+    assert _leaves_equal(p, q)
+
+
+@pytest.mark.slow
+def test_imagenet_backbone_donor_parity_vs_torch():
+    """Convert a synthesized efficientnet_pytorch ImageNet .pth schema into
+    our params AND (independently) into transformers' torch EfficientNet;
+    pooled features must agree — proves the --pretrained path feeds the
+    TPU model the same function the reference's from_pretrained feeds
+    torch (reference model.py:40-41)."""
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers.models.efficientnet.modeling_efficientnet import (
+            EfficientNetModel,  # noqa: F401
+        )
+    except Exception:
+        pytest.skip("transformers EfficientNet unavailable")
+
+    sd = tc.make_imagenet_shaped_state_dict(SPEC, seed=11)
+    # perturb BN vars so stats are exercised
+    sd = {k: (v + 0.05 if k.endswith("running_var") else v)
+          for k, v in sd.items()}
+
+    params = tc.convert_imagenet_state_dict(sd, SPEC, jax.random.PRNGKey(0))
+    tm = tc.load_transformers_backbone(
+        {f"net.{k}": v for k, v in sd.items()}, SPEC)
+
+    x = np.random.RandomState(0).rand(2, 224, 224, 3).astype(np.float32)
+    jax_feats = np.asarray(extract_features(params, x, SPEC))
+    with torch.no_grad():
+        torch_feats = tm(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        ).pooler_output.numpy()
+    np.testing.assert_allclose(jax_feats, torch_feats, atol=2e-4, rtol=2e-4)
+
+
+def test_fetch_weights_verifier_accepts_imagenet_pth(tmp_path):
+    """The effnet_b0_imagenet artifact's structural verifier parses a
+    release-schema .pth with the same converter --pretrained uses."""
+    torch = pytest.importorskip("torch")
+    from real_time_video_deepfake_detection_tpu.cli.fetch_weights import (
+        _verify_effnet_imagenet,
+    )
+    sd = tc.make_imagenet_shaped_state_dict(SPEC, seed=0)
+    path = str(tmp_path / "efficientnet-b0-test.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
+    detail = _verify_effnet_imagenet(path)
+    assert "params" in detail
+
+
+def test_fetch_verifies_existing_files_instead_of_blind_skip(tmp_path,
+                                                             monkeypatch,
+                                                             capsys):
+    """Advisor round-3 item: resume-by-existence must re-run the pin and the
+    structural verifier, so a stale/corrupt present file cannot report
+    success."""
+    from real_time_video_deepfake_detection_tpu.cli import fetch_weights as fw
+
+    good = tmp_path / "good.bin"
+    good.write_bytes(b"hello artifact")
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"corrupted")
+
+    def verify_ok(path):
+        if open(path, "rb").read() != b"hello artifact":
+            raise ValueError("structure mismatch")
+        return "ok-detail"
+
+    monkeypatch.setattr(fw, "ARTIFACTS", {
+        "grp": [("good.bin", "http://unused/good.bin", verify_ok),
+                ("bad.bin", "http://unused/bad.bin", verify_ok)],
+    })
+    failures = fw.fetch(["grp"], str(tmp_path))
+    out = capsys.readouterr().out
+    assert failures == 1
+    assert "already present, verified" in out
+    assert "present but failed verification" in out
+
+    # a wrong --sha256 pin on a present file must fail too
+    failures = fw.fetch(["grp"], str(tmp_path),
+                        sha256={"good.bin": "0" * 64})
+    assert failures >= 1
+
+
+def test_builtin_torchhub_prefix_pin(tmp_path):
+    """The efficientnet release file carries a torch-hub filename hash
+    (355c32eb = sha256[:8]); _check_file enforces it even without an
+    operator-supplied pin."""
+    from real_time_video_deepfake_detection_tpu.cli.fetch_weights import (
+        _check_file,
+    )
+    fake = tmp_path / "efficientnet-b0-355c32eb.pth"
+    fake.write_bytes(b"not the real artifact")
+    with pytest.raises(ValueError, match="prefix"):
+        _check_file(str(fake), "efficientnet-b0-355c32eb.pth",
+                    lambda p: "never reached", None)
+
+
+@pytest.mark.slow
+def test_trainer_pretrained_flag_end_to_end(tmp_path):
+    """`--pretrained <imagenet.pth>` through the REAL trainer CLI: the run
+    starts from the converted ImageNet backbone (verified by inspecting the
+    best checkpoint's untrained-at-epoch-0... instead: by a sentinel value
+    planted in the stem) and completes an epoch."""
+    torch = pytest.importorskip("torch")
+    import cv2
+
+    from real_time_video_deepfake_detection_tpu.train import trainer
+    from real_time_video_deepfake_detection_tpu.train.checkpoint import (
+        load_checkpoint,
+    )
+
+    sd = tc.make_imagenet_shaped_state_dict(SPEC, seed=2)
+    # plant a sentinel in a LATE block the tiny run's freeze-frac keeps
+    # trainable=false... simpler: freeze the whole backbone so the stem
+    # survives training bit-exactly and proves the init came from the .pth
+    sentinel = np.full_like(sd["_conv_stem.weight"], 0.123456)
+    sd["_conv_stem.weight"] = sentinel
+    pth = str(tmp_path / "efficientnet-b0-synth.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, pth)
+
+    rng_l = np.random.default_rng(5)
+    for split, n in (("train", 8), ("val", 4)):
+        for label in ("real", "fake"):
+            d = tmp_path / "ds" / split / label
+            d.mkdir(parents=True)
+            for i in range(n // 2):
+                img = rng_l.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+                cv2.imwrite(str(d / f"{i}.jpg"), img)
+
+    out = tmp_path / "out"
+    res = trainer.main([
+        "--dataset", str(tmp_path / "ds"), "--epochs", "1",
+        "--batch-size", "4", "--image-size", "32",
+        "--pretrained", pth, "--freeze-frac", "1.0",
+        "--output-dir", str(out),
+    ])
+    assert np.isfinite(res["best"]["f1"])
+    st, _, _ = load_checkpoint(str(out / "resume_checkpoint.npz"))
+    params = st.params if hasattr(st, "params") else st
+    got = np.asarray(params["stem"]["conv"])
+    np.testing.assert_allclose(
+        got, np.transpose(sentinel, (2, 3, 1, 0)), atol=1e-6)
