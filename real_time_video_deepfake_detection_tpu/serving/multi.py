@@ -380,6 +380,27 @@ class MultiStreamEngine:
             slot = self.slot_for(stream_id)
             dims = _jpeg_dims(data)
             ch, cw = self.server_cfg.detect_capture_hw
+            if dims is None:
+                # SOF scan failed (unusual marker layout, e.g. a zero-height
+                # SOF with a DNL marker). The pooled tick decoder may still
+                # accept the file, which would silently break the
+                # client-space bbox guarantee — recover the true dims with a
+                # host decode on this rare path (round-3 advisor item).
+                try:
+                    import cv2
+                    f = cv2.imdecode(np.frombuffer(data, np.uint8),
+                                     cv2.IMREAD_COLOR)
+                    dims = f.shape[:2] if f is not None else None
+                except Exception:
+                    dims = None
+                if dims is None and not getattr(self, "_warned_jpeg_dims", False):
+                    self._warned_jpeg_dims = True
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "JPEG header scan and host decode both failed to "
+                        "yield frame dims; if the tick decoder accepts this "
+                        "stream its face_bbox will be in %dx%d capture "
+                        "space, not client space", cw, ch)
             p = _Pending(stream_slot=slot, jpeg=data, t_start=t0,
                          orig_hw=dims if dims and dims != (ch, cw) else None)
             with self.queue_cv:

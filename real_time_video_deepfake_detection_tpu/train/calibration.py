@@ -59,11 +59,30 @@ class IsotonicCalibrator:
         return np.stack([1 - cal, cal], axis=1)
 
     def save(self, path: str) -> None:
+        """Write the knots as an .npz payload (two float arrays) regardless
+        of filename — the reference-convention name `calibrator.pkl` is
+        kept for drop-in layout parity, but auto-load never needs to
+        unpickle (round-3 advisor: pickle.load from the serving CWD is an
+        arbitrary-code-execution surface)."""
         with open(path, "wb") as f:
-            pickle.dump({"x": self.x_, "y": self.y_}, f)
+            np.savez(f, x=np.asarray(self.x_), y=np.asarray(self.y_))
 
     @classmethod
-    def load(cls, path: str) -> "IsotonicCalibrator":
+    def load(cls, path: str, allow_pickle: bool = False) -> "IsotonicCalibrator":
+        """Load knots. .npz payloads load with allow_pickle=False always;
+        a legacy pickle file additionally requires allow_pickle=True (only
+        pass it for operator-supplied trusted files, never auto-load)."""
+        try:
+            with np.load(path, allow_pickle=False) as d:
+                return cls(np.array(d["x"]), np.array(d["y"]))
+        except Exception:
+            pass
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not an .npz calibrator payload; legacy pickle "
+                "files need IsotonicCalibrator.load(path, allow_pickle=True) "
+                "(trusted files only) or a re-fit with "
+                "`rtvdd-train --fit-calibrator`")
         with open(path, "rb") as f:
             d = pickle.load(f)
         if isinstance(d, dict) and "x" in d:
@@ -97,14 +116,29 @@ def load_default():
     deepfake_detection.py:334-342) or the working directory (where
     `rtvdd-train --fit-calibrator` writes it). None when absent/unreadable."""
     base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for cal in (os.path.join(base, "weights", "calibrator.pkl"),
+    pkg_cal = os.path.join(base, "weights", "calibrator.pkl")
+    for cal in (pkg_cal,
                 os.path.join("weights", "calibrator.pkl"),
                 # `rtvdd-train --output-dir D --fit-calibrator` writes
                 # D/calibrator.pkl; serving with CWD=D must find it
                 "calibrator.pkl"):
         if os.path.exists(cal):
             try:
-                loaded = IsotonicCalibrator.load(cal)
+                # Auto-load NEVER unpickles: CWD files must be the .npz
+                # payload save() writes. A legacy pickle inside the package
+                # weights dir (shipped next to the code, not
+                # attacker-writable like a dataset CWD) is the one trusted
+                # exception.
+                loaded = IsotonicCalibrator.load(
+                    cal, allow_pickle=(cal == pkg_cal))
+            except ValueError:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "ignoring %s: legacy pickle calibrators are not "
+                    "auto-loaded from the working directory; re-fit with "
+                    "`rtvdd-train --fit-calibrator` (writes a safe .npz "
+                    "payload) or load it explicitly", os.path.abspath(cal))
+                continue
             except Exception:
                 continue
             # Loud by design: an auto-loaded calibrator remaps every served

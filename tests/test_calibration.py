@@ -76,3 +76,31 @@ def test_detector_loads_cwd_calibrator(tmp_path, monkeypatch):
     want = float(cal.predict_proba([[0.3]])[0][1])
     assert det.apply_calibration(0.3) == pytest.approx(want)
     assert det.apply_calibration(0.3) != 0.3
+
+
+def test_cwd_legacy_pickle_refused(tmp_path, monkeypatch, caplog):
+    """Round-3 advisor item: a legacy pickle calibrator planted in the
+    serving CWD must NOT be unpickled by auto-load (code-execution surface);
+    save() now writes an .npz payload which auto-load accepts."""
+    import logging
+    import pickle
+
+    from real_time_video_deepfake_detection_tpu.train.calibration import (
+        IsotonicCalibrator, load_default,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    with open("calibrator.pkl", "wb") as f:
+        pickle.dump({"x": np.array([0.0, 1.0]), "y": np.array([0.0, 1.0])}, f)
+    with caplog.at_level(logging.WARNING):
+        assert load_default() is None
+    assert "not auto-loaded" in caplog.text
+
+    # explicit trusted load still works for operator-supplied files
+    cal = IsotonicCalibrator.load("calibrator.pkl", allow_pickle=True)
+    assert cal.transform(np.array([0.5]))[0] == pytest.approx(0.5)
+
+    # the .npz payload save() writes IS auto-loaded (same filename)
+    IsotonicCalibrator().fit([0.1, 0.9], [0, 1]).save("calibrator.pkl")
+    with caplog.at_level(logging.WARNING):
+        assert load_default() is not None

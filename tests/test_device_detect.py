@@ -443,3 +443,48 @@ def test_device_detect_offsize_bbox_in_client_coords(synth_ssd):
             assert fb["y"] + fb["height"] <= big.shape[0]
     finally:
         eng.shutdown()
+
+
+@pytest.mark.slow
+def test_jpeg_sof_scan_failure_falls_back_to_host_dims(synth_ssd,
+                                                       monkeypatch):
+    """Round-3 advisor item: when the lightweight SOF header scan fails on
+    a JPEG the tick decoder still accepts, the engine must recover the true
+    frame dims with a host decode so face_bbox keeps the client-space
+    guarantee instead of silently coming back in capture space."""
+    import cv2
+    from real_time_video_deepfake_detection_tpu.core.config import (
+        DetectorConfig, ServerConfig,
+    )
+    from real_time_video_deepfake_detection_tpu.serving import multi
+
+    eng = multi.MultiStreamEngine(
+        DetectorConfig().with_threshold(0.55),
+        ServerConfig(max_streams=8, max_batch=4, batch_timeout_ms=2.0,
+                     min_request_interval=0.0, device_detect=True),
+        ssd_net=synth_ssd.net)
+    try:
+        small = None
+        for seed in range(24):
+            f = np.random.default_rng(seed).integers(
+                0, 256, (480, 640, 3), dtype=np.uint8)
+            if "face_bbox" in eng.analyze(f, f"probe{seed}"):
+                small = f
+                break
+        assert small is not None, "synthetic SSD found no face in 24 frames"
+        big = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+        ok, enc = cv2.imencode(".jpg", big)
+        assert ok
+        data = enc.tobytes()
+
+        r_normal = eng.analyze_jpeg(data, "sof-ok")
+        monkeypatch.setattr(multi, "_jpeg_dims", lambda d: None)
+        r_fallback = eng.analyze_jpeg(data, "sof-broken")
+        assert r_normal.get("face_bbox") == r_fallback.get("face_bbox")
+        if "face_bbox" in r_fallback:
+            fb = r_fallback["face_bbox"]
+            # client (960x1280) space, not 480x640 capture space
+            assert fb["x"] + fb["width"] <= big.shape[1]
+            assert fb["y"] + fb["height"] <= big.shape[0]
+    finally:
+        eng.shutdown()
