@@ -85,10 +85,11 @@ def test_fetch_skip_existing_verify_and_pin(tmp_path, monkeypatch, capsys):
     assert len(calls) == 1
     assert os.path.exists(os.path.join(dest, "deploy.prototxt"))
 
-    # second run: resume-by-existence, no new download
+    # second run: resume-by-existence — no new download, but the present
+    # file is re-verified rather than blindly trusted (round-3 advisor)
     assert fw.fetch(["ssd"], dest) == 0
     assert len(calls) == 1
-    assert "[skip]" in capsys.readouterr().out
+    assert "already present, verified" in capsys.readouterr().out
 
     # wrong pin -> failure + file removed
     assert fw.fetch(["ssd"], dest, force=True,

@@ -118,6 +118,12 @@ def main():
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--out", default="/tmp/train_demo")
+    p.add_argument("--pretrained", default=None, metavar="IMAGENET_PTH",
+                   help="start from an ImageNet B0 .pth (the reference's "
+                        "constructor init, model.py:40-41) with the donor "
+                        "warm-start knobs instead of the cold-start ones; "
+                        "accepts 'synth' to synthesize a release-schema "
+                        "checkpoint when no network exists")
     args = p.parse_args()
 
     ds = os.path.join(args.out, "ds")
@@ -133,21 +139,47 @@ def main():
         build_dataset(ds, args.n, args.n_val, args.size + 32)
 
     from real_time_video_deepfake_detection_tpu.train import trainer
-    res = trainer.main([
+    cli = [
         "--dataset", ds, "--epochs", str(args.epochs),
         "--batch-size", str(args.batch_size),
         "--image-size", str(args.size), "--fresh",
+        "--ema-decay", "0.97", "--patience", str(args.epochs),
+        "--focal-alpha", "0.5",
+        "--lr", "1e-3", "--bf16", "--output-dir", weights,
+    ]
+    if args.pretrained:
+        # the reference's actual recipe: ImageNet backbone + fresh head
+        # (train.py:841), donor BN momentum, default freeze schedule
+        pth = args.pretrained
+        if pth == "synth":
+            # zero-egress stand-in with the exact release schema (the knobs
+            # and code path are identical; only the weight VALUES differ)
+            import jax
+            import torch
+            from real_time_video_deepfake_detection_tpu.models.efficientnet \
+                import EfficientNetSpec
+            from real_time_video_deepfake_detection_tpu.utils.torch_convert \
+                import make_imagenet_shaped_state_dict
+            pth = os.path.join(args.out, "efficientnet-b0-synth.pth")
+            sd = make_imagenet_shaped_state_dict(EfficientNetSpec.make("b0"))
+            torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                        for k, v in sd.items()}, pth)
+        cli += ["--pretrained", pth]
+        if args.pretrained == "synth":
+            # a synth/random "ImageNet" init is numerically a cold start:
+            # re-converge BN running stats and unfreeze everything; with
+            # the REAL artifact the donor defaults (momentum 0.01, freeze
+            # schedule) are the reference's recipe
+            cli += ["--bn-momentum", "0.15", "--freeze-frac", "0.0"]
+    else:
         # cold-start knobs: nothing is pretrained here, so unfreeze the
         # backbone, converge BN running stats fast (donor momentum 0.01
         # assumes pretrained stats), shorten the EMA horizon to the run
         # length (0.999 is tuned for multi-thousand-step runs), and use
         # balanced focal alpha (the reference's 0.25 parks the weak-signal
         # optimum below the 0.5 decision cut on a 50/50 synthetic set)
-        "--freeze-frac", "0.0", "--bn-momentum", "0.15",
-        "--ema-decay", "0.97", "--patience", str(args.epochs),
-        "--focal-alpha", "0.5",
-        "--lr", "1e-3", "--bf16", "--output-dir", weights,
-    ])
+        cli += ["--freeze-frac", "0.0", "--bn-momentum", "0.15"]
+    res = trainer.main(cli)
     log = json.load(open(os.path.join(weights, "training_log.json")))
     last = log[-1]
     print(json.dumps({
