@@ -494,10 +494,12 @@ int ingest_decode_resize_fast(const uint8_t* data, size_t len, uint8_t* out,
 }
 
 // Batch decode+resize with a thread pool. jobs arrays have length n.
-// Returns number of successful decodes; failures leave ok[i] == 0.
+// fast != 0 routes through the DCT-scaled decode (numerics differ from the
+// exact cv2 pipeline; opt-in). Returns number of successful decodes;
+// failures leave ok[i] == 0.
 int ingest_decode_resize_batch(const uint8_t** datas, const size_t* lens,
                                uint8_t* out, int dh, int dw, int n,
-                               int n_threads, int* ok) {
+                               int n_threads, int fast, int* ok) {
   if (n_threads <= 0) {
     n_threads = static_cast<int>(std::thread::hardware_concurrency());
   }
@@ -508,8 +510,11 @@ int ingest_decode_resize_batch(const uint8_t** datas, const size_t* lens,
   for (int t = 0; t < n_threads; ++t) {
     pool.emplace_back([&, t]() {
       for (int i = t; i < n; i += n_threads) {
-        int rc = ingest_decode_resize(datas[i], lens[i], out + i * frame_bytes,
-                                      dh, dw, nullptr, nullptr);
+        int rc = fast ? ingest_decode_resize_fast(datas[i], lens[i],
+                                                  out + i * frame_bytes, dh, dw)
+                      : ingest_decode_resize(datas[i], lens[i],
+                                             out + i * frame_bytes, dh, dw,
+                                             nullptr, nullptr);
         success[i] = (rc == 0);
       }
     });

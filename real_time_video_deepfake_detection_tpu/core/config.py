@@ -187,6 +187,13 @@ class ServerConfig:
     # through ONE GIL-free native call. 0 = the native default
     # (hardware_concurrency).
     prep_threads: int = 0
+    # Use libjpeg DCT-scaled decode in the pooled tick ingest: decode at the
+    # smallest M/8 scale that stays >= 2x detect_capture_hw, then resize.
+    # Cuts the dominant host-decode cost on large captures at the price of
+    # pixel values that are no longer bit-identical to the reference's
+    # full-decode path (docs/DESIGN.md "Known numeric deviations"). Off by
+    # default: exactness is the contract.
+    ingest_scaled_decode: bool = False
     # When the MTCNN aligner is active, expand each detector box up to a
     # multiple of this (clamped to the frame) before cropping. The JAX MTCNN
     # compiles one program per exact crop size (facenet is eager — any jit

@@ -609,7 +609,8 @@ class MultiStreamEngine:
             from ..utils.native_ingest import decode_resize_batch
             decoded, ok = decode_resize_batch(
                 [p.jpeg for p in jpeg_entries], ch, cw,
-                self.server_cfg.prep_threads)
+                self.server_cfg.prep_threads,
+                fast=self.server_cfg.ingest_scaled_decode)
             for j, p in enumerate(jpeg_entries):
                 if decoded is not None and ok[j]:
                     p.frame_capture = decoded[j]

@@ -270,6 +270,12 @@ def main(argv=None):
                    help="batched mode only: run SSD detection + crop/align "
                         "inside the device tick (one XLA program for "
                         "capture->verdict); requires --ssd-weights")
+    p.add_argument("--scaled-decode", action="store_true",
+                   help="batched mode: pooled tick ingest uses libjpeg "
+                        "DCT-scaled decode (>=2x target) before the resize "
+                        "— cuts host decode cost on large captures; pixels "
+                        "deviate from the reference's full-decode path "
+                        "(docs/DESIGN.md)")
     p.add_argument("--mtcnn-device", action="store_true",
                    help="with --device-detect and --mtcnn-weights: run the "
                         "MTCNN P/R/O alignment cascade inside the tick too "
@@ -328,7 +334,8 @@ def main(argv=None):
                             max_streams=args.max_streams,
                             max_batch=args.max_batch,
                             batch_timeout_ms=args.batch_timeout_ms,
-                            device_detect=args.device_detect)
+                            device_detect=args.device_detect,
+                            ingest_scaled_decode=args.scaled_decode)
         params = _load_params()
         clip_head = None
         if args.clip_head:

@@ -68,7 +68,7 @@ def get_lib():
         lib.ingest_decode_resize_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
         lib.ingest_resize_u8.restype = ctypes.c_int
         lib.ingest_resize_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -128,8 +128,15 @@ def decode_resize(data: bytes, dh: int = 256, dw: int = 256) -> Optional[np.ndar
 
 
 def decode_resize_batch(datas: List[bytes], dh: int = 256,
-                        dw: int = 256, n_threads: int = 0):
-    """List of JPEG byte strings -> ((N, dh, dw, 3) u8, ok bool array)."""
+                        dw: int = 256, n_threads: int = 0,
+                        fast: bool = False):
+    """List of JPEG byte strings -> ((N, dh, dw, 3) u8, ok bool array).
+
+    fast=True uses libjpeg DCT-scaled decode (smallest M/8 scale that keeps
+    the decoded image >= 2x the target) before the bit-exact cv2 resize —
+    ~2-4x cheaper on large captures, but pixel values are no longer
+    bit-identical to the full-decode pipeline (docs/DESIGN.md "Known
+    numeric deviations"). Default off."""
     lib = get_lib()
     if lib is None:
         return None, None
@@ -139,7 +146,7 @@ def decode_resize_batch(datas: List[bytes], dh: int = 256,
     arr_p = (ctypes.c_char_p * n)(*datas)
     arr_l = (ctypes.c_size_t * n)(*[len(d) for d in datas])
     lib.ingest_decode_resize_batch(arr_p, arr_l, out.ctypes.data,
-                                   dh, dw, n, n_threads, ok)
+                                   dh, dw, n, n_threads, int(fast), ok)
     return out, np.ctypeslib.as_array(ok).astype(bool).copy()
 
 

@@ -59,6 +59,28 @@ def test_batch_decode():
     np.testing.assert_array_equal(out[0], ref)
 
 
+def test_batch_decode_fast_scaled():
+    """fast=True (DCT-scaled decode, ServerConfig.ingest_scaled_decode):
+    output must be close to the exact full-decode pipeline (documented
+    deviation, docs/DESIGN.md) and still catch corrupt members. On a
+    1280x720 capture -> 480x640 the scaled decode stays >= 2x target."""
+    imgs = [rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8)
+            for _ in range(4)]
+    # natural-ish content compresses/round-trips more stably than noise
+    imgs = [cv2.GaussianBlur(im, (0, 0), 3) for im in imgs]
+    datas = [_jpeg_bytes(im) for im in imgs]
+    datas[2] = b"corrupt"
+    fast, okf = ni.decode_resize_batch(datas, 480, 640, n_threads=1,
+                                       fast=True)
+    exact, oke = ni.decode_resize_batch(datas, 480, 640, n_threads=1)
+    assert okf.sum() == 3 and not okf[2]
+    assert np.array_equal(okf, oke)
+    for i in (0, 1, 3):
+        d = np.abs(fast[i].astype(int) - exact[i].astype(int))
+        assert d.mean() < 2.0 and np.percentile(d, 99) <= 12, (
+            i, d.mean(), np.percentile(d, 99))
+
+
 def test_garbage_returns_none():
     assert ni.decode_jpeg(b"garbage") is None
     assert ni.decode_resize(b"") is None
