@@ -390,6 +390,26 @@ def bench_core_detect(n_streams=64, window=8, n_windows=10, warm_windows=2,
     out, states = tick(1, states)   # compile fast variant (same cfg if off)
     jax.block_until_ready(out["verdict"])
 
+    # XLA cost analysis of the tick program(s): amortized FLOPs/tick under
+    # the forensic schedule, so the headline can report achieved TFLOP/s
+    # and %-of-peak (round-3 verdict next #2). Lowering hits the compile
+    # cache (same jit, same shapes).
+    flops_per_tick = -1.0
+    try:
+        fl = {}
+        for c in dict.fromkeys(tick_cfgs):
+            lowered = steps[c].lower(   # steps are @jax.jit — cache hit
+                params, frames_dev[0], active, slot_idx, states)
+            ca = lowered.compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            fl[c] = float(ca.get("flops", -1.0))
+        k = cfg.full_forensic_interval
+        f_full, f_fast = fl[tick_cfgs[0]], fl[tick_cfgs[1]]
+        if f_full > 0 and f_fast > 0:
+            flops_per_tick = (f_full + (k - 1) * f_fast) / k
+    except Exception:   # pragma: no cover - cost analysis is best-effort
+        pass
+
     per_tick_ms = []
     i = 0
     t_all = time.perf_counter()
@@ -413,12 +433,21 @@ def bench_core_detect(n_streams=64, window=8, n_windows=10, warm_windows=2,
         out, states = tick(k, states, dev=False)
         jax.block_until_ready(out["verdict"])
         req_ms.append((time.perf_counter() - t0) * 1000)
+    tick_s_p50 = float(np.percentile(per_tick_ms, 50)) / 1000.0
+    achieved_tflops = (flops_per_tick / tick_s_p50 / 1e12
+                       if flops_per_tick > 0 else -1.0)
     return {
         "fps": fps,
         "tick_ms_p50": float(np.percentile(per_tick_ms, 50)),
         "tick_ms_p95": float(np.percentile(per_tick_ms, 95)),
         "req_ms_p50": float(np.percentile(req_ms, 50)) if req_ms else -1.0,
         "req_ms_p95": float(np.percentile(req_ms, 95)) if req_ms else -1.0,
+        "gflop_per_tick": (flops_per_tick / 1e9
+                           if flops_per_tick > 0 else -1.0),
+        "achieved_tflops": achieved_tflops,
+        # v5e single chip bf16 peak 197 TFLOP/s (public spec)
+        "mfu_pct_bf16peak": (100.0 * achieved_tflops / 197.0
+                             if achieved_tflops > 0 else -1.0),
     }
 
 
@@ -830,6 +859,12 @@ def main():
                 f"depth-1) p50 {detect['req_ms_p50']:.0f} / p95 "
                 f"{detect['req_ms_p95']:.0f} ms incl. tunnel RTT"
                 + mtcnn_txt + scale_txt +
+                (f"; achieved {detect['achieved_tflops']:.1f} TFLOP/s = "
+                 f"{detect['mfu_pct_bf16peak']:.1f}% of v5e bf16 peak "
+                 f"({detect['gflop_per_tick']:.0f} GFLOP/tick by XLA cost "
+                 "analysis — small-conv/elementwise workload, see "
+                 "docs/DESIGN.md MFU note)"
+                 if detect.get("achieved_tflops", -1) > 0 else "") +
                 f"; classify-only core (pre-staged faces): {core['fps']:.0f} "
                 f"fps, tick p95 {core['tick_ms_p95']:.1f} ms" + e2e_txt)
     else:
