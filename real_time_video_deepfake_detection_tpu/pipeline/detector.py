@@ -113,8 +113,12 @@ class DeepfakeDetector:
             self.params = params
             self.model_loaded = True
         elif weights_path and os.path.exists(weights_path):
-            from ..utils.torch_convert import load_checkpoint
-            self.params, self.checkpoint_meta = load_checkpoint(weights_path, self.spec)
+            # one dispatch for every checkpoint flavor: the reference .pth
+            # (deepfake_detection.py:44-70) OR a trainer .npz (best-model
+            # EMA params / full TrainState resume checkpoint)
+            from ..utils.weights import load_params_and_meta
+            self.params, self.checkpoint_meta = load_params_and_meta(
+                weights_path, self.spec)
             self.model_loaded = True
         else:
             # Reference falls back to ImageNet-pretrained weights

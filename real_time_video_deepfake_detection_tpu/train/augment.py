@@ -323,18 +323,29 @@ def eval_preprocess_batch(imgs_u8: jax.Array) -> jax.Array:
 def mixup_cutmix(rng: jax.Array, x: jax.Array, y: jax.Array,
                  mixup_alpha: float = 0.2, cutmix_alpha: float = 1.0):
     """50%-of-batches mixup-or-cutmix (train.py:563-577). Returns
-    (x, y_a, y_b, lam)."""
+    (x, y_a, y_b, lam).
+
+    An alpha <= 0 statically disables that arm, like the reference's
+    `args.mixup_alpha > 0` gates (train.py:566-570) — jax.random.beta(0, 0)
+    returns NaN (numpy raises), which would silently poison every parameter
+    on the first mixed batch. With both arms disabled this is the identity.
+    """
+    has_mix, has_cut = mixup_alpha > 0, cutmix_alpha > 0
+    if not has_mix and not has_cut:
+        return x, y, y, jnp.float32(1.0)
     ks = jax.random.split(rng, 7)
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
     perm = jax.random.permutation(ks[0], b)
 
     # mixup
-    lam_m = jax.random.beta(ks[1], mixup_alpha, mixup_alpha)
+    lam_m = (jax.random.beta(ks[1], mixup_alpha, mixup_alpha) if has_mix
+             else jnp.float32(1.0))
     lam_m = jnp.maximum(lam_m, 1 - lam_m)
     x_mix = lam_m * x + (1 - lam_m) * x[perm]
 
     # cutmix
-    lam_c0 = jax.random.beta(ks[2], cutmix_alpha, cutmix_alpha)
+    lam_c0 = (jax.random.beta(ks[2], cutmix_alpha, cutmix_alpha) if has_cut
+              else jnp.float32(1.0))
     cut = jnp.sqrt(1 - lam_c0)
     ch = (h * cut).astype(jnp.int32)
     cw = (w * cut).astype(jnp.int32)
@@ -350,7 +361,9 @@ def mixup_cutmix(rng: jax.Array, x: jax.Array, y: jax.Array,
     lam_c = 1.0 - ((y2 - y1) * (x2 - x1)) / (h * w)
 
     use_mix = jax.random.bernoulli(ks[4], 0.5)
-    use_mixup = jax.random.bernoulli(ks[5], 0.5)
+    # with one arm statically disabled, the coin always lands on the other
+    use_mixup = (jax.random.bernoulli(ks[5], 0.5) if (has_mix and has_cut)
+                 else jnp.asarray(has_mix))
 
     x_out = jnp.where(use_mix, jnp.where(use_mixup, x_mix, x_cut), x)
     lam = jnp.where(use_mix, jnp.where(use_mixup, lam_m, lam_c), 1.0)

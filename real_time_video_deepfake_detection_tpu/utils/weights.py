@@ -20,14 +20,17 @@ from __future__ import annotations
 from typing import Any, Optional
 
 
-def load_params_any(path: Optional[str], spec) -> Optional[Any]:
-    """Load classifier params from `path` (.pth or .npz); None when no path.
+def load_params_and_meta(path: str, spec) -> tuple[Any, dict]:
+    """Load (classifier params, checkpoint metadata) from `path`.
+
+    Metadata carries 'epoch'/'val_acc'/'config' when the checkpoint has
+    them — the reference exposes these on its loaded model
+    (deepfake_detection.py:64-70); the trainer's .npz checkpoints record
+    the same keys (train/trainer.py best/resume saves).
 
     Raises SystemExit with an operator-readable message on a .pth with a
     non-EfficientNet spec (the reference torch format only describes B0).
     """
-    if not path:
-        return None
     if path.endswith(".pth"):
         from ..models.efficientnet import EfficientNetSpec
         if not isinstance(spec, EfficientNetSpec):
@@ -35,14 +38,22 @@ def load_params_any(path: Optional[str], spec) -> Optional[Any]:
                              "EfficientNet format; save other backbones "
                              "as .npz via the trainer")
         from .torch_convert import load_checkpoint as load_torch
-        params, _ = load_torch(path, spec)
-        return params
+        return load_torch(path, spec)
     from ..train.checkpoint import load_checkpoint as load_tree
-    tree, _, _ = load_tree(path, restore_host_rng=False)
+    tree, meta, _ = load_tree(path, restore_host_rng=False)
+    meta = {k: meta[k] for k in ("epoch", "val_acc", "config")
+            if isinstance(meta, dict) and k in meta}
     if hasattr(tree, "ema_params"):
         # a full TrainState resume checkpoint: serve the EMA weights,
         # matching what validation scored and best.npz would contain
-        return tree.ema_params
+        return tree.ema_params, meta
     if hasattr(tree, "params"):   # pragma: no cover - future state shapes
-        return tree.params
-    return tree
+        return tree.params, meta
+    return tree, meta
+
+
+def load_params_any(path: Optional[str], spec) -> Optional[Any]:
+    """Load classifier params from `path` (.pth or .npz); None when no path."""
+    if not path:
+        return None
+    return load_params_and_meta(path, spec)[0]

@@ -223,3 +223,31 @@ def test_fusion_weights_assignable(detector):
     finally:
         detector.face_weight = old
         detector.forensic_weight = 1.0 - old
+
+
+def test_detector_loads_trainer_npz_checkpoints(tmp_path):
+    """The serving entry points accept every checkpoint flavor the shared
+    loader knows (utils/weights.py): the reference .pth AND the trainer's
+    .npz (best-model EMA params or a full TrainState resume file). Round-4
+    regression: DeepfakeDetector routed .npz into the torch deserializer."""
+    from real_time_video_deepfake_detection_tpu.models import backbones
+    from real_time_video_deepfake_detection_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+
+    spec = backbones.make("b0")
+    params = backbones.init_params(jax.random.PRNGKey(0), spec)
+    path = str(tmp_path / "best_model.npz")
+    save_checkpoint(path, params,
+                    {"epoch": 3, "val_acc": 0.99, "val_f1": 0.98,
+                     "config": {"image_size": 40}})
+
+    det = DeepfakeDetector(weights_path=path, use_tta=False)
+    assert det.model_loaded
+    # metadata surfaces like the reference's loaded-model attributes
+    # (deepfake_detection.py:64-70)
+    assert det.checkpoint_meta["epoch"] == 3
+    assert det.checkpoint_meta["val_acc"] == 0.99
+    p, conf, _ = det.analyze_face(
+        np.full((72, 72, 3), 120, np.uint8))
+    assert p is not None and 0.0 <= p <= 1.0

@@ -177,6 +177,29 @@ def test_mixup_cutmix_contract():
         assert 0.0 <= l <= 1.0
 
 
+def test_mixup_cutmix_zero_alpha_disables_arm():
+    """alpha <= 0 statically disables that arm like the reference's
+    `args.mixup_alpha > 0` gates (train.py:566-570). Regression: round 4
+    found jax.random.beta(0, 0) = NaN silently poisoning every parameter
+    on the first mixed batch of a `--mixup-alpha 0` run."""
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray((np.arange(8) % 2).astype(np.float32))
+
+    # both disabled -> exact identity
+    xo, ya, yb, lam = mixup_cutmix(jax.random.PRNGKey(0), x, y, 0.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(xo), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(yb), np.asarray(y))
+    assert float(lam) == 1.0
+
+    # one arm disabled -> everything stays finite over many draws
+    for m_a, c_a in ((0.0, 1.0), (0.2, 0.0)):
+        for seed in range(8):
+            xo, ya, yb, lam = mixup_cutmix(
+                jax.random.PRNGKey(seed), x, y, m_a, c_a)
+            assert np.isfinite(np.asarray(xo)).all(), (m_a, c_a, seed)
+            assert np.isfinite(float(lam)), (m_a, c_a, seed)
+
+
 def test_checkpoint_roundtrip_with_rng(tmp_path):
     import random as py_random
     state = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}

@@ -89,20 +89,48 @@ def build_dataset(root, n_train, n_val, size, seed=0):
                         fake, enc_q)
 
 
+# BGR chroma offsets for the control task: bluish "real" vs reddish "fake"
+# on a shared luma ramp. Three properties matter, all dictated by the
+# SERVING preprocessor (pipeline/detector.preprocess_face_quality,
+# deepfake_detection.py:357-370 semantics):
+#  - the class signal is CHROMA, because CLAHE equalizes the LAB L channel
+#    — a global-brightness control is erased before the classifier sees it;
+#  - the luma is a RAMP (flat histogram), so CLAHE is ~identity and the
+#    served inputs stay in the training distribution (a flat-noise image
+#    gets its luma noise stretched to full range, which saturates a model
+#    trained on the raw images);
+#  - the ramp stays IN GAMUT under the +/-45 chroma offset (60..195, so
+#    channels span 15..240 and never clip). A full-range ramp clips the
+#    low-R/high-B ends at synthesis, and CLAHE's ~2x local L stretch then
+#    pushes those clipped-chroma pixels across the learned boundary —
+#    measured: 2/6 held-out "real" probes flip to p~1.0 with a 30..225
+#    ramp, 0/6 with 60..195.
+CONTROL_CHROMA_BGR = {"real": (45.0, 0.0, -45.0), "fake": (-45.0, 0.0, 45.0)}
+
+
+def control_image(rng, size, label):
+    ramp = np.linspace(60, 195, size, dtype=np.float32)[None, :, None]
+    img = np.broadcast_to(ramp, (size, size, 3)).copy()
+    img += np.asarray(CONTROL_CHROMA_BGR[label], np.float32)[None, None, :]
+    img += rng.normal(0, 4, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def build_control_dataset(root, n_train, n_val, size, seed=0):
-    """Trivially separable control: the two classes differ by global
-    brightness. If the trainer cannot reach ~100% here, the training loop
-    itself is broken (this control caught the EMA'd-BN-stats bug)."""
+    """Trivially separable control: the two classes differ by chroma
+    (CONTROL_CHROMA_BGR). If the trainer cannot reach ~100% here, the
+    training loop itself is broken (this control caught the EMA'd-BN-stats
+    bug, the beta(0,0) mixup NaN, and the .npz-through-torch-loader
+    serving dispatch)."""
     import cv2
     rng = np.random.default_rng(seed)
     for split, n in (("train", n_train), ("val", n_val)):
-        for label, base in (("real", 60), ("fake", 195)):
+        for label in ("real", "fake"):
             d = os.path.join(root, split, label)
             os.makedirs(d, exist_ok=True)
             for i in range(n):
-                img = np.clip(rng.normal(base, 12, (size, size, 3)),
-                              0, 255).astype(np.uint8)
-                cv2.imwrite(os.path.join(d, f"{i}.jpg"), img)
+                cv2.imwrite(os.path.join(d, f"{i}.jpg"),
+                            control_image(rng, size, label))
 
 
 def main():
