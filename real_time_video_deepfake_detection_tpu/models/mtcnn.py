@@ -511,18 +511,23 @@ class MTCNNAligner:
     @classmethod
     def from_weights(cls, path_or_dir: str) -> "MTCNNAligner":
         """Load facenet-pytorch pnet.pt/rnet.pt/onet.pt (a directory), or a
-        single .pt containing all three prefixed state dicts."""
+        single .pt containing all three prefixed state dicts.
+
+        weights_only=True always: these are plain tensor state dicts, and
+        this path feeds the serving bootstrap (--mtcnn-weights), so a full
+        unpickle of a downloaded file would be an arbitrary-code-execution
+        surface (same reasoning as cli/fetch_weights)."""
         import os
         import torch
         params = {}
         if os.path.isdir(path_or_dir):
             for net in ("pnet", "rnet", "onet"):
                 sd = torch.load(os.path.join(path_or_dir, f"{net}.pt"),
-                                map_location="cpu", weights_only=False)
+                                map_location="cpu", weights_only=True)
                 sd = {k: v.numpy() for k, v in sd.items()}
                 params[net] = convert_facenet_state_dict(sd, net)
         else:
-            sd = torch.load(path_or_dir, map_location="cpu", weights_only=False)
+            sd = torch.load(path_or_dir, map_location="cpu", weights_only=True)
             sd = {k: v.numpy() for k, v in sd.items()}
             for net in ("pnet", "rnet", "onet"):
                 sub = {k[len(net) + 1:]: v for k, v in sd.items()

@@ -95,3 +95,39 @@ def test_aligner_none_when_no_face(params):
 def test_aligner_tiny_input(params):
     al = M.MTCNNAligner(params)
     assert al(np.zeros((8, 8, 3), np.uint8)) is None
+
+
+def test_from_weights_never_unpickles(tmp_path):
+    """Serving-bootstrap hardening (--mtcnn-weights path): from_weights
+    loads plain tensor state dicts with torch weights_only=True — both the
+    per-net directory layout and the single-file bundle — and REFUSES a
+    file whose deserialization needs a full unpickle (arbitrary-code-
+    execution surface for a downloaded artifact)."""
+    import argparse
+
+    import torch
+
+    from tests.test_mtcnn_parity import make_torch_state_dicts
+
+    sds = make_torch_state_dicts(0)
+    d = tmp_path / "mtcnn"
+    d.mkdir()
+    for net, sd in sds.items():
+        torch.save(sd, d / f"{net}.pt")
+    al = M.MTCNNAligner.from_weights(str(d))
+    assert set(al.params) == {"pnet", "rnet", "onet"}
+
+    bundle = {f"{net}.{k}": v for net, sd in sds.items()
+              for k, v in sd.items()}
+    bpath = tmp_path / "bundle.pt"
+    torch.save(bundle, bpath)
+    al2 = M.MTCNNAligner.from_weights(str(bpath))
+    assert set(al2.params) == {"pnet", "rnet", "onet"}
+    np.testing.assert_array_equal(
+        np.asarray(al.params["pnet"]["conv1"]["w"]),
+        np.asarray(al2.params["pnet"]["conv1"]["w"]))
+
+    evil = tmp_path / "evil.pt"
+    torch.save({"pnet.conv1.weight": argparse.Namespace(boom=1)}, evil)
+    with pytest.raises(Exception):
+        M.MTCNNAligner.from_weights(str(evil))
