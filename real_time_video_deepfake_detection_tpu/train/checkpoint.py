@@ -11,6 +11,7 @@ self-contained, no orbax server-side deps, loads anywhere.
 
 from __future__ import annotations
 
+import io
 import os
 import pickle
 import random
@@ -24,6 +25,48 @@ import jax
 def _flatten(tree) -> Tuple[list, Any]:
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     return leaves, treedef
+
+
+# The checkpoint metadata blob is pickle (it must round-trip a PyTreeDef,
+# RNG states, and the TrainConfig snapshot), but checkpoints flow back in
+# through OPERATOR-SUPPLIED paths — the trainer's --resume and serving's
+# --weights both accept a .npz — so a full unpickle here is an
+# arbitrary-code-execution surface (same class as the calibrator/fetcher
+# findings closed in round 4). save_checkpoint's payload references a
+# CLOSED set of globals: numpy array/scalar reconstructors (the legacy RNG
+# state), the pytree registry + PyTreeDef, optax state namedtuples, and
+# this package's dataclasses. Everything else is refused; outside the
+# exact set, only CLASSES under the jax/jaxlib/optax/package namespaces
+# resolve (never module functions — those are the classic pickle gadgets).
+_META_EXACT = {
+    ("numpy", "ndarray"), ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),   # numpy 1.x
+    ("numpy._core.multiarray", "_reconstruct"),  # numpy 2.x
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "scalar"),
+    ("jax._src.tree_util", "default_registry"),
+}
+_META_CLASS_PREFIXES = ("jax.", "jaxlib.", "optax.", "numpy.dtypes",
+                        "real_time_video_deepfake_detection_tpu.")
+
+
+class _SafeMetaUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if (module, name) in _META_EXACT:
+            return super().find_class(module, name)
+        if any(module == p.rstrip(".") or module.startswith(p)
+               for p in _META_CLASS_PREFIXES):
+            obj = super().find_class(module, name)
+            if isinstance(obj, type):
+                return obj
+        raise pickle.UnpicklingError(
+            f"checkpoint metadata references {module}.{name}, which is "
+            "outside the closed set save_checkpoint writes — refusing to "
+            "deserialize (the file is corrupt or hostile)")
+
+
+def _loads_meta(data: bytes):
+    return _SafeMetaUnpickler(io.BytesIO(data)).load()
 
 
 def save_checkpoint(path: str, state, metadata: Dict[str, Any],
@@ -55,9 +98,9 @@ def save_checkpoint(path: str, state, metadata: Dict[str, Any],
 def load_checkpoint(path: str, restore_host_rng: bool = True):
     """Returns (state, metadata, jax_rng_key)."""
     with np.load(path, allow_pickle=False) as z:
-        meta = pickle.loads(z["__meta__"].tobytes())
+        meta = _loads_meta(z["__meta__"].tobytes())
         leaves = [z[f"leaf_{i}"] for i in range(meta["n_leaves"])]
-    treedef = pickle.loads(meta["treedef"])
+    treedef = _loads_meta(meta["treedef"])
     state = jax.tree_util.tree_unflatten(
         treedef, [jax.numpy.asarray(x) for x in leaves])
     if restore_host_rng:
@@ -137,7 +180,7 @@ def load_checkpoint_orbax(path: str, abstract_state=None):
     else:
         state = ckptr.restore(os.path.join(path, "state"))
     with open(os.path.join(path, "meta.pkl"), "rb") as f:
-        meta = pickle.load(f)
+        meta = _loads_meta(f.read())
     key = meta["rng_jax"]
     return (state, meta["metadata"],
             None if key is None else jax.numpy.asarray(key))

@@ -223,6 +223,44 @@ def test_checkpoint_roundtrip_with_rng(tmp_path):
     assert np.random.random() == expected_np
 
 
+def test_checkpoint_meta_never_unpickles_arbitrary_globals(tmp_path):
+    """Checkpoints flow back in through operator-supplied paths (--resume,
+    serving --weights *.npz), so the metadata blob must load through the
+    restricted unpickler: a payload referencing anything outside the
+    closed save_checkpoint set (here: os.system) is refused, while a real
+    TrainState resume checkpoint — PyTreeDef + optax states + TrainConfig
+    snapshot + RNG capture — still round-trips."""
+    import pickle
+
+    from real_time_video_deepfake_detection_tpu.train.steps import (
+        TrainState, init_train_state, make_optimizer,
+    )
+
+    # full-fidelity roundtrip: the real resume-checkpoint tree
+    cfg = TrainConfig(image_size=44, batch_size=8, lr=1e-3)
+    params = {"w": jnp.ones((2, 2))}
+    state = init_train_state(params, cfg, total_steps=4)
+    np.random.seed(3)   # legacy RNG state embeds an ndarray in the pickle
+    path = str(tmp_path / "resume.npz")
+    save_checkpoint(path, state, {"epoch": 1, "config": cfg},
+                    jax.random.PRNGKey(1))
+    loaded, meta, _ = load_checkpoint(path, restore_host_rng=True)
+    assert isinstance(loaded, TrainState)
+    assert meta["config"] == cfg
+
+    # hostile file: __meta__ that REDUCEs os.system must raise, not execute
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, ("true",))
+
+    evil = str(tmp_path / "evil.npz")
+    blob = pickle.dumps({"n_leaves": 0, "treedef": b"", "metadata": Evil()})
+    np.savez(evil, __meta__=np.frombuffer(blob, np.uint8))
+    with pytest.raises(pickle.UnpicklingError, match="closed set"):
+        load_checkpoint(evil)
+
+
 @pytest.mark.slow
 def test_fused_train_step_learns_something():
     spec = EfficientNetSpec.make("b0")
