@@ -21,16 +21,37 @@ import jax.numpy as jnp
 from ..models.efficientnet import EfficientNetSpec, init_params
 
 
+def _numpy_safe_globals():
+    """The closed set of non-default globals a reference checkpoint needs:
+    numpy array/scalar reconstructors for the `rng_numpy` capture
+    (np.random.get_state() embeds an ndarray — reference train.py:699).
+    Everything the reference writes besides tensors is primitives/dicts
+    (train.py:688-709 resume state, train.py:1034-1055 best_model.pth),
+    so tensors + primitives + this set is sufficient."""
+    import numpy.dtypes as _ndt
+    allow = [np.ndarray, np.dtype]
+    allow += [getattr(_ndt, n) for n in dir(_ndt) if n.endswith("DType")]
+    for mod in ("numpy.core.multiarray", "numpy._core.multiarray"):
+        try:  # numpy 1.x vs 2.x module path
+            m = __import__(mod, fromlist=["_reconstruct", "scalar"])
+            allow += [m._reconstruct, m.scalar]
+        except Exception:
+            pass
+    return allow
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a torch checkpoint file into numpy arrays (host-side only)."""
+    """Read a torch checkpoint file into numpy arrays (host-side only).
+
+    Checkpoint paths are operator-supplied (serving --weights, trainer
+    --warm-start), so this never falls back to a full unpickle: it loads
+    with weights_only=True plus the closed numpy allowlist above, which
+    covers every artifact the reference writes. A file that needs more
+    than that is refused (torch raises UnpicklingError naming the global).
+    """
     import torch  # local import: torch is a host-side tool, not a dependency
-    try:
+    with torch.serialization.safe_globals(_numpy_safe_globals()):
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        # Reference checkpoints may embed non-primitive metadata (e.g. an
-        # argparse.Namespace under 'config'); fall back to a full unpickle
-        # for these operator-supplied local files only.
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return {k: v.detach().cpu().numpy() for k, v in state.items()}, (
         ckpt if isinstance(ckpt, dict) else {})

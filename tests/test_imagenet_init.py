@@ -69,6 +69,39 @@ def test_imagenet_convert_accepts_reference_schema_passthrough():
     assert _leaves_equal(p, q)
 
 
+def test_load_torch_state_dict_never_full_unpickles(tmp_path):
+    """Checkpoint paths are operator-supplied (serving --weights, trainer
+    --warm-start), so the torch loader must never fall back to a full
+    unpickle. A reference-shaped resume checkpoint — including the
+    rng_numpy capture whose ndarray needs the numpy allowlist
+    (train.py:699) — loads; a payload reducing to os.system is refused."""
+    import pickle
+
+    import torch
+
+    ref_like = {
+        "epoch": 2,
+        "model_state_dict": {"net._conv_stem.weight": torch.ones(1, 3, 3, 3)},
+        "val_acc": 0.9,
+        "config": {"lr": 1e-4, "dataset": "FaceForensics++_C23"},
+        "rng_numpy": np.random.get_state(),
+    }
+    good = tmp_path / "ref_like.pth"
+    torch.save(ref_like, str(good))
+    sd, meta = tc.load_torch_state_dict(str(good))
+    assert "net._conv_stem.weight" in sd and meta["epoch"] == 2
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("true",))
+
+    evil = tmp_path / "evil.pth"
+    torch.save({"model_state_dict": {"w": torch.ones(1)}, "config": Evil()},
+               str(evil))
+    with pytest.raises(pickle.UnpicklingError):
+        tc.load_torch_state_dict(str(evil))
+
+
 @pytest.mark.slow
 def test_imagenet_backbone_donor_parity_vs_torch():
     """Convert a synthesized efficientnet_pytorch ImageNet .pth schema into
