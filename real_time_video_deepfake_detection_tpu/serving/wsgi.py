@@ -22,7 +22,10 @@ class Request:
         self.path = environ.get("PATH_INFO", "/")
         self.content_type = environ.get("CONTENT_TYPE", "")
         try:
-            length = int(environ.get("CONTENT_LENGTH") or 0)
+            # clamp: a negative Content-Length would turn read() into
+            # read-to-EOF, blocking a keep-alive socket until the client
+            # hangs up — treat it like the unparsable-header case instead
+            length = max(0, int(environ.get("CONTENT_LENGTH") or 0))
         except ValueError:
             length = 0
         self.body = environ["wsgi.input"].read(length) if length else b""

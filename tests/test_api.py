@@ -238,3 +238,75 @@ def test_bmp_with_trailing_newline_bytes_accepted(client):
     r = client.post("/analyze", data={"frame": (io.BytesIO(raw), "f.bmp")})
     assert r.status_code == 200
     assert r.get_json()["success"] is True
+
+
+def test_multipart_malformed_bodies_never_raise():
+    """Adversarial multipart structures parse to an empty/partial file set —
+    never an exception (Request construction runs OUTSIDE the dispatch
+    try/except, so a parser crash would take down the connection, not
+    return a 400 like the reference's Flask does)."""
+    from real_time_video_deepfake_detection_tpu.serving.wsgi import Request
+
+    b = "bnd417"
+    ct = f"multipart/form-data; boundary={b}"
+    head = ('Content-Disposition: form-data; name="frame"; '
+            'filename="f.bin"\r\n\r\n')
+    cases = [
+        # no boundary parameter at all
+        ("multipart/form-data", b"--x\r\njunk"),
+        # boundary never appears in the body
+        (ct, b"complete garbage, no delimiter"),
+        # opening delimiter, then truncation before any headers
+        (ct, f"--{b}\r\n".encode()),
+        # part with headers but no blank-line separator, then EOF
+        (ct, f"--{b}\r\nContent-Disposition: form-data".encode()),
+        # part missing the name attribute entirely
+        (ct, (f"--{b}\r\nContent-Disposition: form-data\r\n\r\npayload"
+              f"\r\n--{b}--\r\n").encode()),
+        # no closing delimiter after a complete part
+        (ct, (f"--{b}\r\n" + head).encode() + b"payload"),
+        # closing delimiter immediately (zero parts)
+        (ct, f"--{b}--\r\n".encode()),
+        # quoted boundary parameter (RFC 2046 allows it)
+        (f'multipart/form-data; boundary="{b}"',
+         (f"--{b}\r\n" + head).encode() + b"P" + f"\r\n--{b}--\r\n".encode()),
+        # empty body despite multipart content type
+        (ct, b""),
+    ]
+    for i, (ctype, body) in enumerate(cases):
+        req = Request({
+            "REQUEST_METHOD": "POST", "PATH_INFO": "/analyze",
+            "CONTENT_TYPE": ctype, "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+        })
+        assert isinstance(req.files, dict), i
+
+    # the quoted-boundary case must also actually parse its payload
+    req = Request({
+        "REQUEST_METHOD": "POST", "PATH_INFO": "/analyze",
+        "CONTENT_TYPE": f'multipart/form-data; boundary="{b}"',
+        "CONTENT_LENGTH": str(len((f"--{b}\r\n" + head).encode() + b"P"
+                                  + f"\r\n--{b}--\r\n".encode())),
+        "wsgi.input": io.BytesIO((f"--{b}\r\n" + head).encode() + b"P"
+                                 + f"\r\n--{b}--\r\n".encode()),
+    })
+    assert req.files["frame"] == b"P"
+
+
+def test_negative_or_garbage_content_length_reads_nothing():
+    """Content-Length: -5 must not become read(-5) (read-to-EOF blocks a
+    keep-alive socket until the client hangs up); garbage falls back to 0."""
+    from real_time_video_deepfake_detection_tpu.serving.wsgi import Request
+
+    class EOFBlockingStream(io.BytesIO):
+        def read(self, n=-1):
+            assert n is not None and n >= 0, "read-to-EOF on request body"
+            return super().read(n)
+
+    for cl in ("-5", "-1", "banana", ""):
+        req = Request({
+            "REQUEST_METHOD": "POST", "PATH_INFO": "/analyze",
+            "CONTENT_TYPE": "application/json", "CONTENT_LENGTH": cl,
+            "wsgi.input": EOFBlockingStream(b"leftover bytes"),
+        })
+        assert req.body == b"", cl
