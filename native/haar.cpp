@@ -158,6 +158,11 @@ int cv_round(double v) { return static_cast<int>(std::nearbyint(v)); }
 
 extern "C" {
 
+// ABI contract version for the ctypes bindings (utils/native_haar.py);
+// bump together with any exported-signature change so a stale cached
+// .build library is refused instead of mis-marshalled.
+int haar_abi_version(void) { return 1; }
+
 void* haar_create(int win_w, int win_h, int n_stages, const int* ntrees,
                   const float* stage_thresh, const int* rects,
                   const float* weights, const float* node_thresh,

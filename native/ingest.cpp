@@ -45,7 +45,8 @@ void error_exit(j_common_ptr cinfo) {
 // libjpeg DCT scale (8/8 .. 1/8) whose output still covers the hint on the
 // larger dimension. Returns malloc'd buffer (caller frees via free_buffer).
 uint8_t* decode_jpeg(const uint8_t* data, size_t len, int max_dim_hint,
-                     int* out_h, int* out_w) {
+                     int* out_h, int* out_w, int* src_h = nullptr,
+                     int* src_w = nullptr) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -64,6 +65,11 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t len, int max_dim_hint,
     return nullptr;
   }
   cinfo.out_color_space = JCS_EXT_BGR;
+  // True source dims from the header, BEFORE any DCT scaling: the serving
+  // layer needs them to return face boxes in client coordinate space even
+  // when the fast path decodes at a reduced scale.
+  if (src_h) *src_h = static_cast<int>(cinfo.image_height);
+  if (src_w) *src_w = static_cast<int>(cinfo.image_width);
 
   if (max_dim_hint > 0) {
     const int full = std::max<int>(cinfo.image_width, cinfo.image_height);
@@ -454,6 +460,13 @@ void lab_to_bgr_u8(const uint8_t* lab, int n, uint8_t* bgr) {
 
 extern "C" {
 
+// ABI contract version for the ctypes bindings (utils/native_ingest.py).
+// Bump whenever any exported signature changes: the loader checks this
+// after dlopen and forces a rebuild on mismatch, so a stale cached
+// .build/libingest.so (e.g. restored with a newer-than-source mtime)
+// fails safe instead of corrupting argument marshalling.
+int ingest_abi_version(void) { return 3; }
+
 // Decode one JPEG; returns buffer (BGR u8) or null. Caller must free_buffer.
 uint8_t* ingest_decode(const uint8_t* data, size_t len, int max_dim_hint,
                        int* out_h, int* out_w) {
@@ -484,9 +497,10 @@ int ingest_decode_resize(const uint8_t* data, size_t len, uint8_t* out,
 // serving path where the analysis resize dominates (numerics then differ
 // from cv2's full-size pipeline; used only when exact=0).
 int ingest_decode_resize_fast(const uint8_t* data, size_t len, uint8_t* out,
-                              int dh, int dw) {
+                              int dh, int dw, int* src_h, int* src_w) {
   int h = 0, w = 0;
-  uint8_t* buf = decode_jpeg(data, len, 2 * std::max(dh, dw), &h, &w);
+  uint8_t* buf = decode_jpeg(data, len, 2 * std::max(dh, dw), &h, &w,
+                             src_h, src_w);
   if (!buf) return -1;
   resize_u8_cv2(buf, h, w, out, dh, dw);
   free(buf);
@@ -497,9 +511,12 @@ int ingest_decode_resize_fast(const uint8_t* data, size_t len, uint8_t* out,
 // fast != 0 routes through the DCT-scaled decode (numerics differ from the
 // exact cv2 pipeline; opt-in). Returns number of successful decodes;
 // failures leave ok[i] == 0.
+// src_hw (nullable) receives the TRUE pre-scaling source dims as
+// (h, w) pairs: src_hw[2i], src_hw[2i+1]; 0 for failed decodes.
 int ingest_decode_resize_batch(const uint8_t** datas, const size_t* lens,
                                uint8_t* out, int dh, int dw, int n,
-                               int n_threads, int fast, int* ok) {
+                               int n_threads, int fast, int* ok,
+                               int* src_hw) {
   if (n_threads <= 0) {
     n_threads = static_cast<int>(std::thread::hardware_concurrency());
   }
@@ -510,12 +527,18 @@ int ingest_decode_resize_batch(const uint8_t** datas, const size_t* lens,
   for (int t = 0; t < n_threads; ++t) {
     pool.emplace_back([&, t]() {
       for (int i = t; i < n; i += n_threads) {
+        int sh = 0, sw = 0;
         int rc = fast ? ingest_decode_resize_fast(datas[i], lens[i],
-                                                  out + i * frame_bytes, dh, dw)
+                                                  out + i * frame_bytes,
+                                                  dh, dw, &sh, &sw)
                       : ingest_decode_resize(datas[i], lens[i],
                                              out + i * frame_bytes, dh, dw,
-                                             nullptr, nullptr);
+                                             &sh, &sw);
         success[i] = (rc == 0);
+        if (src_hw) {
+          src_hw[2 * i] = (rc == 0) ? sh : 0;
+          src_hw[2 * i + 1] = (rc == 0) ? sw : 0;
+        }
       }
     });
   }

@@ -209,6 +209,13 @@ def fetch(names, dest_dir: str, force: bool = False, dry_run: bool = False,
         for fname, url, verify in ARTIFACTS[name]:
             dest = os.path.join(dest_dir, fname)
             if os.path.exists(dest) and not force:
+                if dry_run:
+                    # a dry run only LISTS planned work — it must not hash
+                    # 20MB+ files or import jax/torch for the structural
+                    # verifiers, and must never report failures
+                    print(f"[dry-run] {fname} present; a real run would "
+                          f"verify it (pin + structural parse)")
+                    continue
                 try:
                     detail = _check_file(dest, fname,
                                          verify, sha256.get(os.path.basename(fname)))

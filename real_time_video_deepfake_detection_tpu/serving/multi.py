@@ -88,6 +88,10 @@ class _Pending:
     # coordinate space (reference face_detection.py:84-88 scales boxes to
     # the input frame), not in detect_capture_hw space
     orig_hw: Optional[tuple] = None
+    # JPEG path: the cheap SOF header scan failed, so the true client dims
+    # must be recovered from the pooled tick decode (which reports source
+    # dims for free) — never by an extra per-request host decode
+    need_dims: bool = False
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     t_start: float = 0.0
@@ -380,29 +384,14 @@ class MultiStreamEngine:
             slot = self.slot_for(stream_id)
             dims = _jpeg_dims(data)
             ch, cw = self.server_cfg.detect_capture_hw
-            if dims is None:
-                # SOF scan failed (unusual marker layout, e.g. a zero-height
-                # SOF with a DNL marker). The pooled tick decoder may still
-                # accept the file, which would silently break the
-                # client-space bbox guarantee — recover the true dims with a
-                # host decode on this rare path (round-3 advisor item).
-                try:
-                    import cv2
-                    f = cv2.imdecode(np.frombuffer(data, np.uint8),
-                                     cv2.IMREAD_COLOR)
-                    dims = f.shape[:2] if f is not None else None
-                except Exception:
-                    dims = None
-                if dims is None and not getattr(self, "_warned_jpeg_dims", False):
-                    self._warned_jpeg_dims = True
-                    import logging
-                    logging.getLogger(__name__).warning(
-                        "JPEG header scan and host decode both failed to "
-                        "yield frame dims; if the tick decoder accepts this "
-                        "stream its face_bbox will be in %dx%d capture "
-                        "space, not client space", cw, ch)
+            # If the SOF scan fails (unusual marker layout, e.g. a
+            # zero-height SOF with a DNL marker) the true client dims are
+            # recovered from the pooled tick decode itself — the native
+            # batch API reports pre-scaling source dims for free (round-3
+            # advisor item; request threads never decode image data).
             p = _Pending(stream_slot=slot, jpeg=data, t_start=t0,
-                         orig_hw=dims if dims and dims != (ch, cw) else None)
+                         orig_hw=dims if dims and dims != (ch, cw) else None,
+                         need_dims=dims is None)
             with self.queue_cv:
                 self.queue.append(p)
                 self.queue_cv.notify()
@@ -604,16 +593,20 @@ class MultiStreamEngine:
         t_prep = time.time()
         jpeg_entries = [p for p in batch if p.jpeg is not None]
         if jpeg_entries:
-            decoded = None
-            ok = None
             from ..utils.native_ingest import decode_resize_batch
-            decoded, ok = decode_resize_batch(
+            decoded, ok, src_dims = decode_resize_batch(
                 [p.jpeg for p in jpeg_entries], ch, cw,
                 self.server_cfg.prep_threads,
-                fast=self.server_cfg.ingest_scaled_decode)
+                fast=self.server_cfg.ingest_scaled_decode, with_dims=True)
             for j, p in enumerate(jpeg_entries):
                 if decoded is not None and ok[j]:
                     p.frame_capture = decoded[j]
+                    if p.need_dims:
+                        # SOF scan failed on the request thread: the pooled
+                        # decode's true source dims keep the client-space
+                        # bbox guarantee with zero extra decodes
+                        shw = (int(src_dims[j, 0]), int(src_dims[j, 1]))
+                        p.orig_hw = shw if shw != (ch, cw) else None
                     continue
                 # native unavailable or this JPEG corrupt: cv2 fallback
                 import cv2
@@ -624,6 +617,9 @@ class MultiStreamEngine:
                                 "status": 400}
                     p.event.set()
                     continue
+                if p.need_dims:
+                    shw = f.shape[:2]
+                    p.orig_hw = shw if shw != (ch, cw) else None
                 if f.shape[:2] != (ch, cw):
                     from ..utils.host_resize import resize_analysis
                     f = resize_analysis(f, ch, cw)

@@ -75,8 +75,17 @@ class IsotonicCalibrator:
         try:
             with np.load(path, allow_pickle=False) as d:
                 return cls(np.array(d["x"]), np.array(d["y"]))
-        except Exception:
-            pass
+        except Exception as e:
+            # Only numpy's explicit pickled-data refusal means "this is a
+            # legacy pickle file". Anything else (truncated zip, missing
+            # keys, IO error) is CORRUPTION — report it as such instead of
+            # steering the operator toward allow_pickle=True on a file
+            # that was never a calibrator payload.
+            if not (isinstance(e, ValueError) and "pickle" in str(e).lower()):
+                raise ValueError(
+                    f"{path}: corrupt/unreadable calibrator payload "
+                    f"({type(e).__name__}: {e}); re-fit with "
+                    "`rtvdd-train --fit-calibrator`") from e
         if not allow_pickle:
             raise ValueError(
                 f"{path} is not an .npz calibrator payload; legacy pickle "
@@ -131,13 +140,13 @@ def load_default():
                 # exception.
                 loaded = IsotonicCalibrator.load(
                     cal, allow_pickle=(cal == pkg_cal))
-            except ValueError:
+            except ValueError as e:
                 import logging
+                # echo load()'s own diagnosis — it distinguishes a legacy
+                # pickle file (not auto-loaded from a CWD) from a corrupt
+                # .npz payload
                 logging.getLogger(__name__).warning(
-                    "ignoring %s: legacy pickle calibrators are not "
-                    "auto-loaded from the working directory; re-fit with "
-                    "`rtvdd-train --fit-calibrator` (writes a safe .npz "
-                    "payload) or load it explicitly", os.path.abspath(cal))
+                    "ignoring calibrator %s: %s", os.path.abspath(cal), e)
                 continue
             except Exception:
                 continue

@@ -162,14 +162,22 @@ def train(args) -> dict:
                              "for other backbones")
         path = args.pretrained
         if path == "auto":
-            cands = [os.path.join(d, f"efficientnet-{spec.variant}-355c32eb.pth")
-                     for d in (args.output_dir, "weights")]
-            cands = [c for c in cands if os.path.exists(c)]
+            # Each efficientnet_pytorch release file embeds its own
+            # sha256[:8] suffix (b0 is 355c32eb, b4 is 6ed6700e, ...), so
+            # resolve by variant glob rather than pinning one hash.
+            import glob as _glob
+            cands = sorted(
+                c for d in (args.output_dir, "weights")
+                for c in _glob.glob(
+                    os.path.join(d, f"efficientnet-{spec.variant}-*.pth")))
             if not cands:
                 raise FileNotFoundError(
-                    "--pretrained: no ImageNet .pth found; fetch it with "
-                    "`rtvdd-fetch-weights --only effnet_b0_imagenet` or "
-                    "pass an explicit path")
+                    f"--pretrained: no ImageNet efficientnet-{spec.variant}"
+                    f"-*.pth found in {args.output_dir} or weights/; fetch "
+                    "the b0 artifact with `rtvdd-fetch-weights --only "
+                    "effnet_b0_imagenet` (other variants: download the "
+                    "efficientnet_pytorch release file) or pass an "
+                    "explicit path")
             path = cands[0]
         from ..utils.torch_convert import load_imagenet_checkpoint
         params = load_imagenet_checkpoint(

@@ -18,7 +18,12 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "haar.cpp")
 _BUILD_DIR = os.path.join(_REPO_ROOT, ".build")
-_SO = os.path.join(_BUILD_DIR, "libhaar.so")
+
+# Must match haar_abi_version() in native/haar.cpp; part of the filename so
+# a stale cached build (newer-than-source mtime after an archive restore)
+# can never be dlopen'd against mismatched bindings (see native_ingest.py).
+_ABI_VERSION = 1
+_SO = os.path.join(_BUILD_DIR, f"libhaar_v{_ABI_VERSION}.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -52,6 +57,13 @@ def get_lib():
             lib = ctypes.CDLL(so)
         except OSError:
             return None
+        try:
+            lib.haar_abi_version.restype = ctypes.c_int
+            abi_ok = lib.haar_abi_version() == _ABI_VERSION
+        except AttributeError:
+            abi_ok = False
+        if not abi_ok:
+            return None  # not a library we built: fall back to numpy path
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

@@ -17,7 +17,15 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "ingest.cpp")
 _BUILD_DIR = os.path.join(_REPO_ROOT, ".build")
-_SO = os.path.join(_BUILD_DIR, "libingest.so")
+
+# Must match ingest_abi_version() in native/ingest.cpp. Bumped together
+# whenever an exported signature changes. The version is part of the .so
+# FILENAME (not just a post-load check) because a stale cached build can
+# carry a newer-than-source mtime (rsync/archive restores, shared build
+# caches) and dlopen caches by path — calling an old-ABI library through
+# the new bindings would corrupt argument marshalling (segfault).
+_ABI_VERSION = 3
+_SO = os.path.join(_BUILD_DIR, f"libingest_v{_ABI_VERSION}.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -54,6 +62,16 @@ def get_lib():
             lib = ctypes.CDLL(so)
         except OSError:
             return None
+        try:
+            lib.ingest_abi_version.restype = ctypes.c_int
+            abi_ok = lib.ingest_abi_version() == _ABI_VERSION
+        except AttributeError:
+            abi_ok = False  # symbol missing: not a library we built
+        if not abi_ok:
+            # A file at the versioned path that doesn't report the matching
+            # ABI was not produced by _build (hand-copied/corrupt). Refuse
+            # it — callers fall back to the cv2 path.
+            return None
         lib.ingest_decode.restype = ctypes.POINTER(ctypes.c_uint8)
         lib.ingest_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
@@ -68,7 +86,8 @@ def get_lib():
         lib.ingest_decode_resize_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
         lib.ingest_resize_u8.restype = ctypes.c_int
         lib.ingest_resize_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -129,25 +148,35 @@ def decode_resize(data: bytes, dh: int = 256, dw: int = 256) -> Optional[np.ndar
 
 def decode_resize_batch(datas: List[bytes], dh: int = 256,
                         dw: int = 256, n_threads: int = 0,
-                        fast: bool = False):
+                        fast: bool = False, with_dims: bool = False):
     """List of JPEG byte strings -> ((N, dh, dw, 3) u8, ok bool array).
 
     fast=True uses libjpeg DCT-scaled decode (smallest M/8 scale that keeps
     the decoded image >= 2x the target) before the bit-exact cv2 resize —
     ~2-4x cheaper on large captures, but pixel values are no longer
     bit-identical to the full-decode pipeline (docs/DESIGN.md "Known
-    numeric deviations"). Default off."""
+    numeric deviations"). Default off.
+
+    with_dims=True additionally returns the TRUE pre-scaling source dims as
+    an (N, 2) int32 (h, w) array — zeros for failed decodes. The serving
+    layer uses these to keep face boxes in client coordinate space without
+    any extra per-request host decode."""
     lib = get_lib()
     if lib is None:
-        return None, None
+        return (None, None, None) if with_dims else (None, None)
     n = len(datas)
     out = np.empty((n, dh, dw, 3), np.uint8)
     ok = (ctypes.c_int * n)()
+    dims = np.zeros((n, 2), np.int32)
     arr_p = (ctypes.c_char_p * n)(*datas)
     arr_l = (ctypes.c_size_t * n)(*[len(d) for d in datas])
-    lib.ingest_decode_resize_batch(arr_p, arr_l, out.ctypes.data,
-                                   dh, dw, n, n_threads, int(fast), ok)
-    return out, np.ctypeslib.as_array(ok).astype(bool).copy()
+    lib.ingest_decode_resize_batch(
+        arr_p, arr_l, out.ctypes.data, dh, dw, n, n_threads, int(fast), ok,
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    ok_arr = np.ctypeslib.as_array(ok).astype(bool).copy()
+    if with_dims:
+        return out, ok_arr, dims
+    return out, ok_arr
 
 
 def detect_heuristic_native(frame_bgr: np.ndarray):

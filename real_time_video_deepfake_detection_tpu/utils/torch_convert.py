@@ -52,9 +52,23 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch  # local import: torch is a host-side tool, not a dependency
     with torch.serialization.safe_globals(_numpy_safe_globals()):
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    state = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
-    return {k: v.detach().cpu().numpy() for k, v in state.items()}, (
-        ckpt if isinstance(ckpt, dict) else {})
+    state = ckpt
+    if isinstance(ckpt, dict):
+        for wrap in ("model_state_dict", "state_dict"):
+            if isinstance(ckpt.get(wrap), dict):
+                state = ckpt[wrap]
+                break
+    # Keep only tensor values: a wrapped checkpoint's top level mixes the
+    # state dict with ints/floats/metadata (reference train.py:685-712), and
+    # mapping .detach() over those would crash with an opaque AttributeError.
+    tensors = {k: v.detach().cpu().numpy() for k, v in state.items()
+               if hasattr(v, "detach")}
+    if not tensors:
+        raise ValueError(
+            f"{path}: checkpoint contains no tensors (keys: "
+            f"{sorted(state)[:5]}); expected a state dict or a checkpoint "
+            "wrapping one under 'model_state_dict'/'state_dict'")
+    return tensors, (ckpt if isinstance(ckpt, dict) else {})
 
 
 def _conv(sd, key):
@@ -218,16 +232,17 @@ def convert_imagenet_state_dict(sd: Mapping[str, np.ndarray],
 
 def load_imagenet_checkpoint(path: str, spec: EfficientNetSpec | None = None,
                              rng=None):
-    """Load an ImageNet .pth (efficientnet_pytorch or timm naming) into
-    (backbone-pretrained, head-fresh) params. torch is used only to
-    deserialize (weights_only=True: these files are plain tensor dicts)."""
+    """Load an ImageNet .pth (efficientnet_pytorch or timm naming) OR a
+    wrapped checkpoint (reference train.py-style `{'model_state_dict': ...}`)
+    into (backbone-pretrained, head-fresh) params. Deserialization goes
+    through load_torch_state_dict (weights_only=True + the closed numpy
+    allowlist), which unwraps checkpoint dicts and drops non-tensor
+    metadata before conversion."""
     import jax
-    import torch
     spec = spec or EfficientNetSpec.make("b0")
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return convert_imagenet_state_dict(
-        {k: v.detach().cpu().numpy() for k, v in sd.items()}, spec, rng)
+    sd, _ = load_torch_state_dict(path)
+    return convert_imagenet_state_dict(sd, spec, rng)
 
 
 def load_checkpoint(path: str, spec: EfficientNetSpec | None = None):

@@ -94,7 +94,7 @@ def test_cwd_legacy_pickle_refused(tmp_path, monkeypatch, caplog):
         pickle.dump({"x": np.array([0.0, 1.0]), "y": np.array([0.0, 1.0])}, f)
     with caplog.at_level(logging.WARNING):
         assert load_default() is None
-    assert "not auto-loaded" in caplog.text
+    assert "legacy pickle" in caplog.text and "ignoring" in caplog.text
 
     # explicit trusted load still works for operator-supplied files
     cal = IsotonicCalibrator.load("calibrator.pkl", allow_pickle=True)
@@ -104,3 +104,29 @@ def test_cwd_legacy_pickle_refused(tmp_path, monkeypatch, caplog):
     IsotonicCalibrator().fit([0.1, 0.9], [0, 1]).save("calibrator.pkl")
     with caplog.at_level(logging.WARNING):
         assert load_default() is not None
+
+
+def test_corrupt_npz_diagnosed_as_corruption(tmp_path):
+    """A truncated/corrupt calibrator payload must NOT be misreported as a
+    'legacy pickle' (which would steer operators toward allow_pickle=True
+    on a file that was never a calibrator); load() raises a corruption
+    message instead."""
+    import pytest
+    from real_time_video_deepfake_detection_tpu.train.calibration import (
+        IsotonicCalibrator,
+    )
+    cal = IsotonicCalibrator().fit(
+        np.linspace(0, 1, 32), (np.linspace(0, 1, 32) > 0.5).astype(float))
+    path = tmp_path / "calibrator.pkl"
+    cal.save(str(path))
+    data = path.read_bytes()
+    path.write_bytes(data[: len(data) // 2])  # truncate: disk-full analogue
+    with pytest.raises(ValueError, match="corrupt/unreadable"):
+        IsotonicCalibrator.load(str(path))
+    # while a REAL legacy pickle still gets the legacy-pickle diagnosis
+    import pickle
+    legacy = tmp_path / "legacy.pkl"
+    legacy.write_bytes(pickle.dumps({"x": np.array([0.0, 1.0]),
+                                     "y": np.array([0.0, 1.0])}))
+    with pytest.raises(ValueError, match="legacy pickle"):
+        IsotonicCalibrator.load(str(legacy))

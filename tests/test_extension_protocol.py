@@ -17,7 +17,7 @@ Two tiers:
    disconnect path. Executed here under node+jsdom when available; this
    build environment ships NO JS runtime (node/bun/chromium/deno and
    embedded engines all checked absent), so the harness tier skips and is
-   part of the operator acceptance checklist (extension/test/README).
+   part of the operator acceptance checklist (extension/test/README.md).
 """
 
 import json
@@ -124,6 +124,7 @@ def test_harness_files_complete():
     ../content.js, and the recorded /analyze body must carry the full
     required schema."""
     for f in ("harness.html", "chrome_mock.js", "fetch_mock.js", "tests.js",
+              "README.md",
               "run_node.js"):
         assert os.path.exists(os.path.join(EXT, "test", f)), f
     harness = _read("test/harness.html")

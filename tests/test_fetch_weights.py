@@ -138,3 +138,18 @@ def test_mtcnn_verifier_roundtrip(tmp_path):
     path = str(tmp_path / "pnet.pt")
     torch.save(sd, path)
     assert "pnet" in fw._verify_mtcnn_pt("pnet")(path)
+
+
+def test_dry_run_with_present_files_stays_dry(tmp_path, capsys):
+    """--dry-run must only LIST planned work: with artifacts already present
+    it neither hashes them nor runs structural verifiers, and a corrupt
+    present file cannot make a dry run report failures."""
+    from real_time_video_deepfake_detection_tpu.cli import fetch_weights as fw
+
+    (tmp_path / "deploy.prototxt").write_bytes(b"garbage that would FAIL "
+                                               b"the structural verifier")
+    failures = fw.fetch(["ssd"], str(tmp_path), dry_run=True)
+    out = capsys.readouterr().out
+    assert failures == 0
+    assert "[FAIL]" not in out
+    assert "[dry-run]" in out

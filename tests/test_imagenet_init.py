@@ -244,3 +244,76 @@ def test_trainer_pretrained_flag_end_to_end(tmp_path):
     got = np.asarray(params["stem"]["conv"])
     np.testing.assert_allclose(
         got, np.transpose(sentinel, (2, 3, 1, 0)), atol=1e-6)
+
+
+def test_timm_key_mapping_against_literal_table():
+    """Non-circular check of the timm schema conversion: the roundtrip test
+    synthesizes its timm input by inverting _timm_to_effnet_keys itself, so
+    a systematically wrong mapping (e.g. swapped BN stages) would cancel
+    out there. Here the expected destinations are HAND-WRITTEN from timm's
+    public efficientnet naming (DepthwiseSeparableConv: conv_dw/bn1,
+    conv_pw/bn2; InvertedResidual: conv_pw/bn1, conv_dw/bn2, conv_pwl/bn3),
+    independent of the code under test: each timm key is filled with a
+    unique constant and must surface at the stated leaf of the converted
+    param tree."""
+    sd = tc.make_imagenet_shaped_state_dict(SPEC, seed=3, schema="timm")
+    # (timm key, path in our param tree) — blocks.0.0 is the expand==1
+    # DepthwiseSeparableConv block, blocks.1.0 the first InvertedResidual
+    # (flat block index 1).
+    table = [
+        ("conv_stem.weight", ("stem", "conv")),
+        ("bn1.weight", ("stem", "bn", "scale")),
+        ("bn1.running_mean", ("stem", "bn", "mean")),
+        ("blocks.0.0.conv_dw.weight", ("blocks", 0, "depthwise")),
+        ("blocks.0.0.bn1.running_mean", ("blocks", 0, "bn1", "mean")),
+        ("blocks.0.0.conv_pw.weight", ("blocks", 0, "project")),
+        ("blocks.0.0.bn2.running_var", ("blocks", 0, "bn2", "var")),
+        ("blocks.0.0.se.conv_reduce.weight", ("blocks", 0, "se_reduce", "w")),
+        ("blocks.0.0.se.conv_expand.bias", ("blocks", 0, "se_expand", "b")),
+        ("blocks.1.0.conv_pw.weight", ("blocks", 1, "expand_conv")),
+        ("blocks.1.0.bn1.weight", ("blocks", 1, "bn0", "scale")),
+        ("blocks.1.0.conv_dw.weight", ("blocks", 1, "depthwise")),
+        ("blocks.1.0.bn2.running_mean", ("blocks", 1, "bn1", "mean")),
+        ("blocks.1.0.conv_pwl.weight", ("blocks", 1, "project")),
+        ("blocks.1.0.bn3.running_var", ("blocks", 1, "bn2", "var")),
+        ("conv_head.weight", ("head", "conv")),
+        ("bn2.weight", ("head", "bn", "scale")),
+        ("bn2.running_var", ("head", "bn", "var")),
+    ]
+    for i, (timm_key, _) in enumerate(table):
+        assert timm_key in sd, f"fixture lacks timm key {timm_key}"
+        sd[timm_key] = np.full_like(sd[timm_key], float(i + 1))
+    p = tc.convert_imagenet_state_dict(sd, SPEC, jax.random.PRNGKey(0))
+    for i, (timm_key, path) in enumerate(table):
+        leaf = p
+        for step in path:
+            leaf = leaf[step]
+        got = np.asarray(leaf)
+        assert np.all(got == float(i + 1)), (
+            f"{timm_key} expected at {path}, found values {np.unique(got)}")
+
+
+def test_load_imagenet_checkpoint_accepts_wrapped_checkpoint(tmp_path):
+    """--pretrained with a reference-style WRAPPED checkpoint
+    ({'model_state_dict': ..., 'epoch': 3, ...}) must unwrap and convert,
+    not crash mapping .detach() over the int metadata."""
+    torch = pytest.importorskip("torch")
+    sd = tc.make_reference_shaped_state_dict(SPEC, seed=4)
+    ckpt = {
+        "model_state_dict": {k: torch.from_numpy(np.asarray(v))
+                             for k, v in sd.items()},
+        "epoch": 3,
+        "val_acc": 0.91,
+        "config": {"dataset": "FaceForensics++_C23"},
+    }
+    path = tmp_path / "wrapped.pth"
+    torch.save(ckpt, str(path))
+    p = tc.load_imagenet_checkpoint(str(path), SPEC)
+    q = tc.convert_state_dict(sd, SPEC)
+    assert _leaves_equal(p, q)
+
+    # and a checkpoint with NO tensors anywhere raises the designed error
+    empty = tmp_path / "empty.pth"
+    torch.save({"epoch": 1, "val_acc": 0.5}, str(empty))
+    with pytest.raises(ValueError, match="no tensors"):
+        tc.load_torch_state_dict(str(empty))
