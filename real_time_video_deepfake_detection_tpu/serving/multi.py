@@ -54,6 +54,22 @@ def _jpeg_dims(data: bytes) -> Optional[tuple]:
             i += 1
             continue
         m = data[i + 1]
+        if m == 0xFF:
+            # 0xFF fill bytes are legal padding before a marker (ITU T.81
+            # B.1.1.2) — resync on the next byte instead of misreading a
+            # fill byte as a marker with a bogus segment length (which
+            # could land the scan on spurious in-payload "SOF" bytes and
+            # return WRONG dims rather than None)
+            i += 1
+            continue
+        if m == 0x00:    # FF 00 = stuffed literal data byte, not a marker
+            i += 2
+            continue
+        if m == 0xDA:
+            # SOS with no SOF seen: every valid JPEG places SOF before SOS
+            # (ITU T.81 B.2.1) — scanning past SOS would walk entropy-coded
+            # data where random bytes can masquerade as markers
+            return None
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:   # standalone markers
             i += 2
             continue
@@ -88,6 +104,10 @@ class _Pending:
     # coordinate space (reference face_detection.py:84-88 scales boxes to
     # the input frame), not in detect_capture_hw space
     orig_hw: Optional[tuple] = None
+    # owning stream id, checked against the live slot table at tick time:
+    # a request parked in the queue while its stream is LRU-evicted must
+    # NOT write into the slot's new owner's state
+    stream_id: Optional[str] = None
     # JPEG path: the cheap SOF header scan failed, so the true client dims
     # must be recovered from the pooled tick decode (which reports source
     # dims for free) — never by an extra per-request host decode
@@ -300,6 +320,10 @@ class MultiStreamEngine:
                           key=lambda kv: self.last_request.get(kv[1], 0.0))
                 slot = lru[1]
                 del self.slot_of[lru[0]]
+                # the new stream must not inherit the evicted stream's
+                # rate-limit timestamp (its first request would be falsely
+                # 429'd at full load)
+                self.last_request.pop(slot, None)
                 mask = np.zeros(self.n_slots + 1, bool)
                 mask[slot] = True
                 self._reset_mask_locked(mask)
@@ -343,6 +367,40 @@ class MultiStreamEngine:
         if slot is None:
             return 0
         return int(np.asarray(self.states.frame_count)[slot])
+
+    def stream_stats(self, slot: int) -> dict:
+        """/stats scalars for one slot as ONE jitted dispatch + ONE bulk
+        device->host fetch. Chaining the un-jitted tracker reducers here
+        would pay ~10 per-op round trips per monitoring poll on remote
+        (tunneled) runtimes."""
+        if getattr(self, "_stats_jit", None) is None:
+            from ..state.tracker import (
+                tracker_stability, tracker_temporal_average, tracker_verdict,
+                tracker_voting_stats,
+            )
+
+            def _f(tracker, frame_count, slot):
+                t = jax.tree.map(lambda x: x[slot], tracker)
+                fake, real, total = tracker_voting_stats(t)
+                return (frame_count[slot], tracker_temporal_average(t),
+                        tracker_stability(t), tracker_verdict(t),
+                        t.n_scores, fake, real, total)
+
+            self._stats_jit = jax.jit(_f)
+        with self.lock:
+            states = self.states
+        vals = jax.device_get(self._stats_jit(
+            states.tracker, states.frame_count, jnp.asarray(slot)))
+        fc, t_avg, stab, verdict, n_scores, fake, real, total = vals
+        return {
+            "frame_count": int(fc),
+            "temporal_average": float(t_avg),
+            "stability_score": float(stab),
+            "confidence_level": VERDICT_NAMES[int(verdict)],
+            "history_length": int(n_scores),
+            "voting": {"fake_count": int(fake), "real_count": int(real),
+                       "total_frames": int(total)},
+        }
 
     # --------------------------------------------------------------- intake
 
@@ -389,7 +447,8 @@ class MultiStreamEngine:
             # recovered from the pooled tick decode itself — the native
             # batch API reports pre-scaling source dims for free (round-3
             # advisor item; request threads never decode image data).
-            p = _Pending(stream_slot=slot, jpeg=data, t_start=t0,
+            p = _Pending(stream_slot=slot, stream_id=stream_id, jpeg=data,
+                         t_start=t0,
                          orig_hw=dims if dims and dims != (ch, cw) else None,
                          need_dims=dims is None)
             with self.queue_cv:
@@ -411,7 +470,8 @@ class MultiStreamEngine:
         if aligned is not None and self._faces_dtype == np.float32:
             aligned = aligned.astype(np.float32)
         p = _Pending(
-            stream_slot=slot, frame_256=frame256, face_raw=aligned,
+            stream_slot=slot, stream_id=stream_id,
+            frame_256=frame256, face_raw=aligned,
             face_hw=(box[3], box[2]) if box else (0, 0),
             faces_detected=1 if box else 0,
             bbox=box, t_start=t0)
@@ -443,7 +503,8 @@ class MultiStreamEngine:
                 orig_hw = frame_bgr.shape[:2]
                 from ..utils.host_resize import resize_analysis
                 frame_bgr = resize_analysis(frame_bgr, ch, cw)
-            p = _Pending(stream_slot=slot, frame_capture=frame_bgr,
+            p = _Pending(stream_slot=slot, stream_id=stream_id,
+                         frame_capture=frame_bgr,
                          orig_hw=orig_hw, t_start=t0)
             with self.queue_cv:
                 self.queue.append(p)
@@ -481,7 +542,8 @@ class MultiStreamEngine:
                 face_hw = (fh, fw)
                 bbox = (x, y, fw, fh)
 
-        p = _Pending(stream_slot=slot, frame_256=frame256, face_raw=face_raw,
+        p = _Pending(stream_slot=slot, stream_id=stream_id,
+                     frame_256=frame256, face_raw=face_raw,
                      face_hw=face_hw, faces_detected=len(faces), bbox=bbox,
                      t_start=t0)
         with self.queue_cv:
@@ -530,9 +592,32 @@ class MultiStreamEngine:
                 return b
         return self.buckets[-1]
 
+    def _drop_stale(self, batch: List[_Pending]) -> List[_Pending]:
+        """Fail requests whose stream was LRU-evicted while parked in the
+        queue: their slot now belongs to a different (freshly-reset) stream,
+        so running them would pollute the new stream's temporal state and
+        return the new stream's counters to the old client."""
+        kept: List[_Pending] = []
+        with self.lock:
+            stale = [p for p in batch
+                     if p.stream_id is not None
+                     and self.slot_of.get(p.stream_id) != p.stream_slot]
+        stale_set = set(map(id, stale))
+        for p in batch:
+            if id(p) in stale_set:
+                p.result = {"error": "stream evicted while request queued "
+                                     "(max_streams exceeded)", "status": 409}
+                p.event.set()
+            else:
+                kept.append(p)
+        return kept
+
     def _run_tick(self, batch: List[_Pending]):
         """Assemble the compact bucketed batch and DISPATCH one device step;
         results are completed asynchronously by _drain_loop."""
+        batch = self._drop_stale(batch)
+        if not batch:
+            return
         if self._detect_steps is not None:
             return self._run_tick_detect(batch)
         b = self._bucket_for(len(batch))
@@ -679,7 +764,20 @@ class MultiStreamEngine:
                     p.result = {"error": str(e)}
                     p.event.set()
                 continue
-            self._complete(out, entries, has_face, t_dev)
+            try:
+                self._complete(out, entries, has_face, t_dev)
+            except Exception as e:
+                # The drainer must survive ANY completion error: if this
+                # thread dies, the batcher fills the bounded _inflight queue
+                # and then blocks forever — every request times out with no
+                # log. Fail the affected entries loudly instead.
+                import logging
+                logging.getLogger(__name__).exception(
+                    "tick completion failed: %s", e)
+                for p in entries:
+                    if not p.event.is_set():
+                        p.result = {"error": str(e)}
+                        p.event.set()
 
     def _complete(self, out: Dict[str, np.ndarray],
                   entries: List[_Pending], has_face, t_dev: float):
@@ -790,14 +888,25 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
 
     @app.route("/analyze", methods=["POST"])
     def analyze(req):
-        sid = _stream_id(req)
-        slot = engine.slot_for(sid)
-        retry = engine.rate_limited(slot)
-        if retry is not None:
-            return jsonify({"error": "Rate limited", "retry_after_ms": retry}, 429)
+        # Validate BEFORE allocating a stream slot: slot_for can LRU-evict
+        # (and zero the temporal state of) a live stream, so an invalid
+        # request — no frame field, or a 429 for an existing stream — must
+        # never trigger an eviction.
         if "frame" not in req.files:
             return jsonify({"error": "No frame provided"}, 400)
         data = req.files["frame"]
+        sid = _stream_id(req)
+        with engine.lock:
+            existing = engine.slot_of.get(sid)
+        if existing is not None:
+            retry = engine.rate_limited(existing)
+            if retry is not None:
+                return jsonify({"error": "Rate limited",
+                                "retry_after_ms": retry}, 429)
+            slot = existing
+        else:
+            slot = engine.slot_for(sid)
+            engine.rate_limited(slot)   # stamp the window for this request
         try:
             # JPEG fast path: zero image work in this request thread —
             # either the per-request native prep call (host-prep mode) or
@@ -810,18 +919,18 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
                         return jsonify({"error": result["error"]},
                                        result.get("status", 500))
                     return jsonify(result)
-            # Python path: native decode (JPEG) or cv2 (PNG/BMP/fallback)
-            frame = None
-            if data[:2] == b"\xff\xd8":
-                from ..utils.native_ingest import decode_jpeg
-                frame = decode_jpeg(data)
-            if frame is None:
-                import cv2
-                arr = np.frombuffer(data, np.uint8)
-                frame = cv2.imdecode(arr, cv2.IMREAD_COLOR) if arr.size else None
+            # Python path: the shared decode ladder (native JPEG -> cv2)
+            from .server import _decode_frame
+            frame = _decode_frame(data)
             if frame is None:
                 return jsonify({"error": "Invalid image format"}, 400)
-            return jsonify(engine.analyze(frame, sid))
+            result = engine.analyze(frame, sid)
+            if "error" in result:
+                # tick/drain failures surface as error dicts; the reference
+                # returns 500 for analyze exceptions (backend_server.py:235)
+                return jsonify({"error": result["error"]},
+                               result.get("status", 500))
+            return jsonify(result)
         except Exception as e:
             return jsonify({"error": str(e)}, 500)
 
@@ -873,19 +982,6 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
                             "voting": {"fake_count": 0, "real_count": 0,
                                        "total_frames": 0},
                             "device": _device})
-        from ..state.tracker import (tracker_stability, tracker_temporal_average,
-                                     tracker_verdict, tracker_voting_stats)
-        t = jax.tree.map(lambda x: x[slot], engine.states.tracker)
-        fake, real, total = tracker_voting_stats(t)
-        return jsonify({
-            "frame_count": int(np.asarray(engine.states.frame_count)[slot]),
-            "temporal_average": float(tracker_temporal_average(t)),
-            "stability_score": float(tracker_stability(t)),
-            "confidence_level": VERDICT_NAMES[int(tracker_verdict(t))],
-            "history_length": int(t.n_scores),
-            "voting": {"fake_count": int(fake), "real_count": int(real),
-                       "total_frames": int(total)},
-            "device": _device,
-        })
+        return jsonify({**engine.stream_stats(slot), "device": _device})
 
     return app

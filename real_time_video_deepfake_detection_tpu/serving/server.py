@@ -213,6 +213,10 @@ def serve(host: str = "0.0.0.0", port: int = 5000,
     from wsgiref.simple_server import WSGIServer, make_server
 
     cfg = server_cfg or ServerConfig(host=host, port=port)
+    # an explicit ServerConfig is authoritative: its host/port fields bind
+    # the socket (previously they were silently ignored in favor of the
+    # positional defaults)
+    host, port = cfg.host, cfg.port
     app = create_app(detector, cfg)
 
     class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):

@@ -40,7 +40,12 @@ class Request:
         own trailing bytes are \\r or \\n survive intact (a naive
         strip(b"\\r\\n") corrupts e.g. BMP pixel data ending in 0x0A/0x0D).
         Bare-LF generators are tolerated like werkzeug does."""
-        m = re.search(r'boundary="?([^";,]+)"?', self.content_type)
+        # Quoted form first: RFC 2046 bchars include ',' and ';' inside a
+        # quoted boundary, so matching [^";,]+ would truncate a legal
+        # boundary="xy,z" to 'xy' and the parts would never be found.
+        m = re.search(r'boundary="([^"]+)"', self.content_type)
+        if not m:
+            m = re.search(r'boundary=([^";\s]+)', self.content_type)
         if not m:
             return
         delim = b"--" + m.group(1).encode()

@@ -310,3 +310,26 @@ def test_negative_or_garbage_content_length_reads_nothing():
             "wsgi.input": EOFBlockingStream(b"leftover bytes"),
         })
         assert req.body == b"", cl
+
+
+def test_multipart_quoted_boundary_with_comma():
+    """RFC 2046 bchars include ',' — a quoted boundary="xy,z" must parse
+    (the old [^\";,]+ capture truncated it to 'xy' and the request lost its
+    file, 400ing a valid /analyze)."""
+    from real_time_video_deepfake_detection_tpu.serving.wsgi import Request
+
+    payload = b"FRAMEBYTES"
+    boundary = "xy,z:q=7"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="frame"; filename="f.jpg"\r\n'
+        "Content-Type: image/jpeg\r\n\r\n"
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    environ = {
+        "REQUEST_METHOD": "POST", "PATH_INFO": "/analyze",
+        "CONTENT_TYPE": f'multipart/form-data; boundary="{boundary}"',
+        "CONTENT_LENGTH": str(len(body)),
+        "wsgi.input": io.BytesIO(body),
+    }
+    req = Request(environ)
+    assert req.files["frame"] == payload

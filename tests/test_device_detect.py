@@ -488,3 +488,32 @@ def test_jpeg_sof_scan_failure_falls_back_to_host_dims(synth_ssd,
             assert fb["y"] + fb["height"] <= big.shape[0]
     finally:
         eng.shutdown()
+
+
+def test_jpeg_dims_fill_bytes_and_sos_guard():
+    """ITU T.81 B.1.1.2 allows 0xFF fill bytes before any marker: the SOF
+    scan must resync on them instead of misreading a fill byte as a marker
+    with a bogus segment length (worst case: WRONG dims, silently breaking
+    the client-space bbox). And a (corrupt) stream reaching SOS before SOF
+    must return None rather than scanning entropy-coded data."""
+    import cv2
+    from real_time_video_deepfake_detection_tpu.serving.multi import (
+        _jpeg_dims,
+    )
+
+    frame = np.random.default_rng(0).integers(
+        0, 256, (120, 160, 3), dtype=np.uint8)
+    ok, enc = cv2.imencode(".jpg", frame)
+    assert ok
+    data = enc.tobytes()
+    assert _jpeg_dims(data) == (120, 160)
+
+    # insert 0xFF fill bytes immediately before the SOF marker
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0
+    padded = data[:sof] + b"\xff\xff\xff" + data[sof:]
+    assert _jpeg_dims(padded) == (120, 160)
+
+    # SOS appearing before any SOF: bail, never walk entropy data
+    assert _jpeg_dims(b"\xff\xd8\xff\xda\x00\x04\x01\x02"
+                      b"\xff\xc0\x00\x11\x08\x00\x10\x00\x10") is None

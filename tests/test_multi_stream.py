@@ -545,3 +545,62 @@ def test_analyze_cli_single_video_npz_weights(tmp_path):
     r = _json.load(open(js))
     assert r["summary"]["frames"] == 2
     assert r["summary"]["final_verdict"] in ("REAL", "FAKE", "UNCERTAIN")
+
+
+def test_invalid_requests_never_evict_streams(app, engine):
+    """slot_for can LRU-evict (and zero) a live stream's temporal state, so
+    the route must validate BEFORE allocating: a no-frame POST with a fresh
+    stream id, even a flood of them, must leave the slot table untouched."""
+    client = app.test_client()
+    # touch two real streams so there is state to protect
+    for sid in ("evict-a", "evict-b"):
+        r = client.post("/analyze", data={"frame": (_jpeg(_frame(1)), "f.jpg"),
+                                          "stream_id": sid})
+        assert r.status_code == 200
+    with engine.lock:
+        before = dict(engine.slot_of)
+    for i in range(engine.n_slots + 4):
+        r = client.post("/analyze", data={"stream_id": f"garbage-{i}"})
+        assert r.status_code == 400
+    with engine.lock:
+        after = dict(engine.slot_of)
+    assert before == after
+
+
+def test_drop_stale_fails_evicted_queued_requests(engine):
+    """A request parked in the queue while its stream is LRU-evicted must
+    be failed (409), not run — running it would write into the slot's NEW
+    owner's freshly-reset state and return the new stream's counters."""
+    from real_time_video_deepfake_detection_tpu.serving.multi import _Pending
+
+    live_sid = "stale-live"
+    slot = engine.slot_for(live_sid)
+    p_live = _Pending(stream_slot=slot, stream_id=live_sid,
+                      frame_256=np.zeros((256, 256, 3), np.uint8))
+    p_evicted = _Pending(stream_slot=slot, stream_id="stale-evicted",
+                         frame_256=np.zeros((256, 256, 3), np.uint8))
+    kept = engine._drop_stale([p_live, p_evicted])
+    assert kept == [p_live]
+    assert p_evicted.event.is_set()
+    assert p_evicted.result["status"] == 409
+    assert not p_live.event.is_set()
+
+
+def test_eviction_clears_rate_limit_timestamp():
+    """At full load every slot's last_request is fresh; a new stream that
+    evicts the LRU slot must not inherit that timestamp (its first request
+    would be falsely 429'd)."""
+    cfg = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55), face_backend="heuristic")
+    scfg = ServerConfig(max_streams=2, max_batch=2, batch_timeout_ms=2.0,
+                        min_request_interval=10.0)   # huge window
+    e = MultiStreamEngine(cfg, scfg)
+    try:
+        for sid in ("rl-a", "rl-b"):
+            s = e.slot_for(sid)
+            assert e.rate_limited(s) is None       # stamps last_request
+        s_new = e.slot_for("rl-c")                  # evicts the LRU
+        assert e.rate_limited(s_new) is None, (
+            "fresh stream inherited the evicted stream's rate-limit window")
+    finally:
+        e.shutdown()
