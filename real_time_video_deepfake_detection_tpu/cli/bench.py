@@ -445,10 +445,29 @@ def bench_core_detect(n_streams=64, window=8, n_windows=10, warm_windows=2,
         "gflop_per_tick": (flops_per_tick / 1e9
                            if flops_per_tick > 0 else -1.0),
         "achieved_tflops": achieved_tflops,
-        # v5e single chip bf16 peak 197 TFLOP/s (public spec)
-        "mfu_pct_bf16peak": (100.0 * achieved_tflops / 197.0
-                             if achieved_tflops > 0 else -1.0),
+        "mfu_pct_bf16peak": (100.0 * achieved_tflops / _bf16_peak_tflops()
+                             if achieved_tflops > 0 and
+                             _bf16_peak_tflops() > 0 else -1.0),
     }
+
+
+def _bf16_peak_tflops() -> float:
+    """Per-chip bf16 peak TFLOP/s for the attached device, from public
+    specs, so the %-of-peak headline is correct on any TPU generation (it
+    was hardcoded to the v5e's 197). -1 for unknown kinds (MFU omitted)."""
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197.0, "v5litepod": 197.0, "v5e": 197.0,
+        "v5p": 459.0, "v5": 459.0,
+        "v4": 275.0, "v4 lite": 138.0, "v4i": 138.0,
+        "v6e": 918.0, "v6 lite": 918.0, "trillium": 918.0,
+        "v3": 123.0, "v2": 46.0,
+        "v7": 2307.0, "ironwood": 2307.0,
+    }
+    for k in sorted(table, key=len, reverse=True):  # longest match first
+        if k in kind:
+            return table[k]
+    return -1.0
 
 
 def bench_prep_scaling(n=64, threads=(1, 2, 4), repeats=3):

@@ -44,17 +44,65 @@ from .classify import classify_batch, apply_small_face_heuristic
 from .faces import FaceDetector, Box
 
 
-def preprocess_face_quality(face_bgr: np.ndarray) -> np.ndarray:
+_LAB_BACKEND: Optional[str] = None   # resolved once: "cv2" | "native" | "jnp"
+
+
+def _resolve_lab_backend() -> str:
+    """Lab round-trip ladder: cv2 -> native C -> jnp — same treatment the
+    resize/decode paths got. The non-cv2 rungs are parity-tested against
+    cv2's float Lab math (tests/test_pallas_kernels.py, <=1 u8 step; see
+    docs/DESIGN.md "Known numeric deviations"), and a downgrade warns ONCE
+    instead of letting analyze_face's blanket except silently drop every
+    face to forensic-only on a cv2-less install."""
+    global _LAB_BACKEND
+    if _LAB_BACKEND is None:
+        try:
+            import cv2  # noqa: F401
+            _LAB_BACKEND = "cv2"
+        except Exception:
+            from ..utils.native_ingest import get_lib
+            _LAB_BACKEND = "native" if get_lib() is not None else "jnp"
+            import warnings
+            warnings.warn(
+                "cv2 unavailable: face-quality CLAHE falls back to the "
+                f"parity-tested '{_LAB_BACKEND}' Lab backend "
+                "(<=1 u8 step vs cv2)", RuntimeWarning, stacklevel=3)
+    return _LAB_BACKEND
+
+
+def preprocess_face_quality(face_bgr: np.ndarray,
+                            lab_backend: Optional[str] = None) -> np.ndarray:
     """CLAHE contrast enhancement on the LAB L channel
-    (deepfake_detection.py:357-370). LAB conversion currently via cv2 on host
-    (fixed-point Lab table emulation is on the kernels roadmap); CLAHE itself
-    is our implementation (ops/clahe.py)."""
-    import cv2
-    lab = cv2.cvtColor(face_bgr, cv2.COLOR_BGR2LAB)
+    (deepfake_detection.py:357-370). Lab conversion goes through the
+    cv2 -> native C (ingest.cpp bgr_to_lab_u8) -> jnp (ops/color) ladder;
+    CLAHE itself is our implementation (ops/clahe.py). `lab_backend` pins
+    a rung for tests."""
+    backend = lab_backend or _resolve_lab_backend()
+    if backend == "native":
+        from ..utils.native_ingest import bgr2lab_native
+        lab = bgr2lab_native(face_bgr)
+        if lab is None:   # library vanished after resolve; drop a rung
+            backend = "jnp"
+    if backend == "cv2":
+        import cv2
+        lab = cv2.cvtColor(face_bgr, cv2.COLOR_BGR2LAB)
+    elif backend == "jnp":
+        from ..ops.color import rgb_to_lab_u8
+        lab = np.asarray(rgb_to_lab_u8(
+            jnp.asarray(np.ascontiguousarray(face_bgr[..., ::-1]))))
     l, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
     l = clahe_u8_numpy(l, clip_limit=2.0, tiles=8)
     merged = np.stack([l, a, b], axis=-1)
-    return cv2.cvtColor(merged, cv2.COLOR_LAB2BGR)
+    if backend == "cv2":
+        import cv2
+        return cv2.cvtColor(merged, cv2.COLOR_LAB2BGR)
+    if backend == "native":
+        from ..utils.native_ingest import lab2bgr_native
+        out = lab2bgr_native(merged)
+        if out is not None:
+            return out
+    from ..ops.color import lab_to_rgb_u8
+    return np.asarray(lab_to_rgb_u8(jnp.asarray(merged)))[..., ::-1].copy()
 
 
 class _ResizeAligner:
@@ -283,7 +331,19 @@ class DeepfakeDetector:
             fake_prob = self.apply_heuristics(fake_prob, face_bgr)
             cam = self._gradcam(preprocessed) if self.enable_gradcam else None
             return fake_prob, fake_prob, cam
-        except Exception:
+        except Exception as e:
+            # The reference swallows face-analysis failures and falls back
+            # to forensic-only fusion (deepfake_detection.py:548-550). Keep
+            # that contract, but never SILENTLY: a persistent failure here
+            # (e.g. a missing host dependency) changes verdict composition
+            # for every frame, so the first occurrence warns with the cause.
+            if not getattr(self, "_face_path_warned", False):
+                self._face_path_warned = True
+                import warnings
+                warnings.warn(
+                    "face analysis failed; verdicts degrade to "
+                    f"forensic-only until the cause clears: {e!r}",
+                    RuntimeWarning, stacklevel=2)
             return None, None, None
 
     def _gradcam(self, preprocessed_bgr: np.ndarray) -> Optional[np.ndarray]:

@@ -19,7 +19,7 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -312,25 +312,28 @@ class MultiStreamEngine:
 
     def slot_for(self, stream_id: str) -> int:
         with self.lock:
-            if stream_id in self.slot_of:
-                return self.slot_of[stream_id]
-            if len(self.slot_of) >= self.n_slots:
-                # evict least-recently-used stream
-                lru = min(self.slot_of.items(),
-                          key=lambda kv: self.last_request.get(kv[1], 0.0))
-                slot = lru[1]
-                del self.slot_of[lru[0]]
-                # the new stream must not inherit the evicted stream's
-                # rate-limit timestamp (its first request would be falsely
-                # 429'd at full load)
-                self.last_request.pop(slot, None)
-                mask = np.zeros(self.n_slots + 1, bool)
-                mask[slot] = True
-                self._reset_mask_locked(mask)
-            else:
-                slot = len(self.slot_of)
-            self.slot_of[stream_id] = slot
-            return slot
+            return self._slot_for_locked(stream_id)
+
+    def _slot_for_locked(self, stream_id: str) -> int:
+        if stream_id in self.slot_of:
+            return self.slot_of[stream_id]
+        if len(self.slot_of) >= self.n_slots:
+            # evict least-recently-used stream
+            lru = min(self.slot_of.items(),
+                      key=lambda kv: self.last_request.get(kv[1], 0.0))
+            slot = lru[1]
+            del self.slot_of[lru[0]]
+            # the new stream must not inherit the evicted stream's
+            # rate-limit timestamp (its first request would be falsely
+            # 429'd at full load)
+            self.last_request.pop(slot, None)
+            mask = np.zeros(self.n_slots + 1, bool)
+            mask[slot] = True
+            self._reset_mask_locked(mask)
+        else:
+            slot = len(self.slot_of)
+        self.slot_of[stream_id] = slot
+        return slot
 
     def rate_limited(self, slot: int) -> Optional[int]:
         now = time.time()
@@ -341,6 +344,30 @@ class MultiStreamEngine:
                             - (now - last)) * 1000)
             self.last_request[slot] = now
         return None
+
+    def admit(self, stream_id: str) -> Tuple[int, Optional[int]]:
+        """Resolve/create the stream's slot AND check+stamp its rate window
+        under ONE lock acquisition. Returns (slot, retry_after_ms); the
+        request is admitted (window stamped) iff retry_after_ms is None.
+
+        This closes the /analyze TOCTOU: reading slot_of and then calling
+        rate_limited() in a second acquisition let two concurrent first
+        requests from one stream both pass the limiter, and let an LRU
+        eviction land between the read and the stamp so the stamp hit
+        another stream's slot. An existing stream is never evicted here, so
+        a 429 still cannot zero anyone's temporal state; a brand-new stream
+        is always admitted (its slot's timestamp was cleared on eviction).
+        Mirrors reference backend_server.py:195-204 (0.5 s min interval)."""
+        now = time.time()
+        with self.lock:
+            existing = stream_id in self.slot_of
+            slot = self._slot_for_locked(stream_id)
+            last = self.last_request.get(slot, 0.0)
+            if existing and now - last < self.server_cfg.min_request_interval:
+                return slot, int((self.server_cfg.min_request_interval
+                                  - (now - last)) * 1000)
+            self.last_request[slot] = now
+            return slot, None
 
     def reset(self, stream_id: Optional[str] = None) -> None:
         with self.lock:
@@ -896,17 +923,12 @@ def create_batched_app(engine: Optional[MultiStreamEngine] = None,
             return jsonify({"error": "No frame provided"}, 400)
         data = req.files["frame"]
         sid = _stream_id(req)
-        with engine.lock:
-            existing = engine.slot_of.get(sid)
-        if existing is not None:
-            retry = engine.rate_limited(existing)
-            if retry is not None:
-                return jsonify({"error": "Rate limited",
-                                "retry_after_ms": retry}, 429)
-            slot = existing
-        else:
-            slot = engine.slot_for(sid)
-            engine.rate_limited(slot)   # stamp the window for this request
+        # single-acquisition admit: slot resolution + rate check + stamp
+        # are atomic (see MultiStreamEngine.admit for the TOCTOU this closes)
+        _slot, retry = engine.admit(sid)
+        if retry is not None:
+            return jsonify({"error": "Rate limited",
+                            "retry_after_ms": retry}, 429)
         try:
             # JPEG fast path: zero image work in this request thread —
             # either the per-request native prep call (host-prep mode) or

@@ -46,8 +46,15 @@ _META_EXACT = {
     ("numpy._core.multiarray", "scalar"),
     ("jax._src.tree_util", "default_registry"),
 }
+# Package classes are narrowed to the three modules whose dataclasses /
+# pytree nodes save_checkpoint can actually embed (config snapshot, the
+# TrainState pytree node, per-stream state pytrees). A blanket package
+# prefix would let a hostile blob REDUCE-construct side-effectful classes
+# elsewhere in the package (e.g. serving engines) with chosen args.
 _META_CLASS_PREFIXES = ("jax.", "jaxlib.", "optax.", "numpy.dtypes",
-                        "real_time_video_deepfake_detection_tpu.")
+                        "real_time_video_deepfake_detection_tpu.core.config",
+                        "real_time_video_deepfake_detection_tpu.train.steps",
+                        "real_time_video_deepfake_detection_tpu.state.")
 
 
 class _SafeMetaUnpickler(pickle.Unpickler):

@@ -13,7 +13,7 @@ Conversions:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -40,8 +40,9 @@ def _numpy_safe_globals():
     return allow
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a torch checkpoint file into numpy arrays (host-side only).
+def load_torch_state_dict(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
+    """Read a torch checkpoint file -> (tensor dict as numpy, full ckpt
+    dict for metadata extraction). Host-side only.
 
     Checkpoint paths are operator-supplied (serving --weights, trainer
     --warm-start), so this never falls back to a full unpickle: it loads
@@ -50,7 +51,16 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     than that is refused (torch raises UnpicklingError naming the global).
     """
     import torch  # local import: torch is a host-side tool, not a dependency
-    with torch.serialization.safe_globals(_numpy_safe_globals()):
+    safe_globals = getattr(torch.serialization, "safe_globals", None)
+    if safe_globals is None:  # pragma: no cover - torch >= 2.4 in this image
+        # torch < 2.4 has no safe_globals context; weights_only still works
+        # but can't admit the numpy RNG-capture reconstructors, and we will
+        # not widen to a full unpickle — fail with a readable requirement.
+        raise RuntimeError(
+            "loading .pth checkpoints safely requires torch >= 2.4 "
+            f"(installed torch has no torch.serialization.safe_globals); "
+            f"refusing to unpickle {path} without an allowlist")
+    with safe_globals(_numpy_safe_globals()):
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
     state = ckpt
     if isinstance(ckpt, dict):

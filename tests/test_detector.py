@@ -76,6 +76,91 @@ def test_preprocess_face_quality_shape_and_type():
     assert out.shape == face.shape and out.dtype == np.uint8
 
 
+@pytest.mark.parametrize("backend", ["native", "jnp"])
+def test_preprocess_face_quality_ladder_parity(backend):
+    """The cv2-free Lab rungs (native C, jnp — round-4 verdict weak #4).
+
+    The Lab CONVERSION is within 2 u8 steps of cv2 (measured; cv2's u8
+    BGR2LAB is fixed-point table math, ours the float formula — DESIGN.md
+    Known numeric deviations). Through CLAHE a +-1 L step is amplified by
+    the local tile-LUT slope (scaled-CDF mapping), so the full-path bound
+    is input-dependent: tight on natural/smooth content, wide on white
+    noise (tiny 15x12 tiles, <1 count/bin). Assert the typical case tight
+    and the noise worst case by mean."""
+    if backend == "native":
+        from real_time_video_deepfake_detection_tpu.utils.native_ingest import get_lib
+        if get_lib() is None:
+            pytest.skip("native ingest library unavailable")
+    yy, xx = np.mgrid[0:120, 0:96]
+    smooth = np.stack([120 + 60 * np.sin(yy / 17) + 40 * np.cos(xx / 13),
+                       100 + 50 * np.sin(xx / 11),
+                       90 + 70 * np.cos(yy / 23)], -1).clip(0, 255).astype(np.uint8)
+    noise = rng.integers(0, 256, (120, 96, 3), dtype=np.uint8)
+    for img, mean_tol, p99_tol in ((smooth, 1.5, 6), (noise, 5.0, 24)):
+        ref = preprocess_face_quality(img, lab_backend="cv2")
+        out = preprocess_face_quality(img, lab_backend=backend)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        d = np.abs(ref.astype(int) - out.astype(int))
+        assert d.mean() <= mean_tol, (backend, d.mean())
+        assert np.quantile(d, 0.99) <= p99_tol, (backend, np.quantile(d, 0.99))
+    # the two cv2-free rungs agree with each other bit-for-bit (+-1 from
+    # the C gamma table's lerp at rounding boundaries, amplified <=1 LUT step)
+    if backend == "native":
+        a = preprocess_face_quality(noise, lab_backend="native")
+        b = preprocess_face_quality(noise, lab_backend="jnp")
+        assert np.abs(a.astype(int) - b.astype(int)).mean() <= 0.5
+
+
+def test_cv2less_backend_resolution_warns_once(monkeypatch):
+    """On a cv2-less install the ladder resolves to a real backend and
+    warns ONCE (was: silent forensic-only downgrade via analyze_face's
+    blanket except)."""
+    import builtins
+    import warnings as _w
+    from real_time_video_deepfake_detection_tpu.pipeline import detector as D
+
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("cv2 disabled for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_cv2)
+    monkeypatch.setattr(D, "_LAB_BACKEND", None)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        backend = D._resolve_lab_backend()
+        assert backend in ("native", "jnp")
+        again = D._resolve_lab_backend()   # cached: no second warning
+        assert again == backend
+    msgs = [str(r.message) for r in rec if r.category is RuntimeWarning]
+    assert len(msgs) == 1 and "cv2 unavailable" in msgs[0]
+    # and the face-quality path actually runs without cv2
+    face = rng.integers(0, 256, (80, 72, 3), dtype=np.uint8)
+    out = D.preprocess_face_quality(face, lab_backend=backend)
+    assert out.shape == face.shape and out.dtype == np.uint8
+    monkeypatch.setattr(D, "_LAB_BACKEND", None)   # leave clean for others
+
+
+def test_analyze_face_downgrade_warns_once():
+    """analyze_face's reference-contract blanket except (fall back to
+    forensic-only, deepfake_detection.py:548-550) must warn on FIRST
+    failure instead of silently changing verdict composition."""
+    import warnings as _w
+    det = DeepfakeDetector(DetectorConfig())
+    det.use_tta = False
+    det._single_prediction = lambda *_: (_ for _ in ()).throw(
+        RuntimeError("synthetic face-path failure"))
+    face = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert det.analyze_face(face) == (None, None, None)
+        assert det.analyze_face(face) == (None, None, None)
+    msgs = [str(r.message) for r in rec if r.category is RuntimeWarning]
+    assert len(msgs) == 1 and "forensic-only" in msgs[0]
+
+
 # ------------------------------------------------------------ face detector
 
 def test_face_detector_guards():

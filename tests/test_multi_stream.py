@@ -604,3 +604,42 @@ def test_eviction_clears_rate_limit_timestamp():
             "fresh stream inherited the evicted stream's rate-limit window")
     finally:
         e.shutdown()
+
+
+def test_admit_atomic_under_concurrency():
+    """admit() closes the round-4 advisor TOCTOU: slot resolution + rate
+    check + stamp happen under ONE lock acquisition, so N concurrent FIRST
+    requests from one brand-new stream admit exactly one and 429 the rest
+    (previously the slot_of read and rate_limited() ran in separate
+    acquisitions and all N passed). Also verified live against the batched
+    HTTP server (3 concurrent curls -> one 200, two 429)."""
+    cfg = dataclasses.replace(
+        DetectorConfig().with_threshold(0.55), face_backend="heuristic")
+    scfg = ServerConfig(max_streams=4, max_batch=4, batch_timeout_ms=2.0,
+                        min_request_interval=10.0)
+    e = MultiStreamEngine(cfg, scfg)
+    try:
+        results = []
+        barrier = threading.Barrier(8)
+
+        def first_request():
+            barrier.wait()
+            results.append(e.admit("burst-stream"))
+
+        threads = [threading.Thread(target=first_request) for _ in range(8)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        slots = {s for s, _ in results}
+        assert len(slots) == 1, "one stream mapped to multiple slots"
+        admitted = [r for _, r in results if r is None]
+        limited = [r for _, r in results if r is not None]
+        assert len(admitted) == 1 and len(limited) == 7, results
+        assert all(0 < ms <= 10000 for ms in limited)
+        # a 429 never stamps: the window still dates from the admit
+        slot, retry = e.admit("burst-stream")
+        assert retry is not None and retry <= 10000
+        # and a DIFFERENT new stream is unaffected by that stream's window
+        s2, r2 = e.admit("other-stream")
+        assert r2 is None and s2 not in slots
+    finally:
+        e.shutdown()
