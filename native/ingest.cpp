@@ -456,6 +456,149 @@ void lab_to_bgr_u8(const uint8_t* lab, int n, uint8_t* bgr) {
   }
 }
 
+// ------------------------------------------------ wire-format ingest planes
+//
+// The serving tick can split the JPEG codec across host and device at two
+// natural boundaries (reference equivalent: backend_server.py:140-142 does
+// the FULL decode on host through cv2):
+//
+//   "coef"     host does Huffman/entropy decode ONLY (the memory-bound
+//              fraction); quantized DCT coefficients + quant tables ship to
+//              the TPU, which runs dequant -> islow IDCT -> fancy upsample
+//              -> YCbCr->BGR (ops/jpeg_decode.py — the same bit-exact
+//              libjpeg integer math used for ELA).
+//   "ycbcr420" host runs entropy decode + IDCT but SKIPS upsample/color;
+//              raw 4:2:0 planes (1.5 B/px, half of BGR) ship to the TPU.
+//
+// Both are bit-exact vs the full host decode (islow + fancy upsample +
+// ycc_rgb defaults). Eligibility: baseline/progressive 8-bit 3-component
+// YCbCr with 2x2,1x1,1x1 sampling and dims EXACTLY the fixed capture shape
+// (divisible by 16). Anything else -> ok=0, caller falls back to the full
+// decode ladder.
+
+bool check_420_header(jpeg_decompress_struct& cinfo, int eh, int ew) {
+  if (cinfo.data_precision != 8 || cinfo.num_components != 3) return false;
+  if (cinfo.jpeg_color_space != JCS_YCbCr) return false;
+  if (static_cast<int>(cinfo.image_height) != eh ||
+      static_cast<int>(cinfo.image_width) != ew)
+    return false;
+  if (eh % 16 != 0 || ew % 16 != 0) return false;
+  const jpeg_component_info* c = cinfo.comp_info;
+  if (c[0].h_samp_factor != 2 || c[0].v_samp_factor != 2) return false;
+  if (c[1].h_samp_factor != 1 || c[1].v_samp_factor != 1) return false;
+  if (c[2].h_samp_factor != 1 || c[2].v_samp_factor != 1) return false;
+  if (c[1].quant_tbl_no != c[2].quant_tbl_no) return false;
+  return true;
+}
+
+// Entropy-only decode: quantized coefficients in natural (raster) order, as
+// the libjpeg entropy decoder leaves them, plus the two quant tables.
+// cy: (yb, 64) i16 with yb = (eh/8)*(ew/8), block raster order;
+// cc: (2, cb, 64) i16 with cb = yb/4 (Cb then Cr); qt: (2, 64) u16.
+bool decode_coefs_one(const uint8_t* data, size_t len, int eh, int ew,
+                      int16_t* cy, int16_t* cc, uint16_t* qt) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK ||
+      !check_420_header(cinfo, eh, ew)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+  if (!arrays) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  for (int t = 0; t < 2; ++t) {
+    const int tno = cinfo.comp_info[t].quant_tbl_no;
+    const JQUANT_TBL* q =
+        (tno >= 0 && tno < NUM_QUANT_TBLS) ? cinfo.quant_tbl_ptrs[tno]
+                                           : nullptr;
+    if (!q) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    for (int i = 0; i < 64; ++i) qt[t * 64 + i] = q->quantval[i];
+  }
+  for (int ci = 0; ci < 3; ++ci) {
+    jpeg_component_info* comp = cinfo.comp_info + ci;
+    const int wb = ci == 0 ? ew / 8 : ew / 16;
+    const int hb = ci == 0 ? eh / 8 : eh / 16;
+    if (static_cast<int>(comp->width_in_blocks) != wb ||
+        static_cast<int>(comp->height_in_blocks) != hb) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    int16_t* dst = ci == 0 ? cy : cc + static_cast<size_t>(ci - 1) * hb * wb * 64;
+    for (int r = 0; r < hb; ++r) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), arrays[ci],
+          static_cast<JDIMENSION>(r), 1, FALSE);
+      static_assert(sizeof(JCOEF) == sizeof(int16_t), "JCOEF must be i16");
+      memcpy(dst + static_cast<size_t>(r) * wb * 64, rows[0],
+             static_cast<size_t>(wb) * 64 * sizeof(JCOEF));
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// Entropy decode + IDCT, raw 4:2:0 sample planes out (no upsample/color).
+// y: (eh, ew) u8; c: (2, eh/2, ew/2) u8 (Cb then Cr).
+bool decode_raw420_one(const uint8_t* data, size_t len, int eh, int ew,
+                       uint8_t* y, uint8_t* c) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK ||
+      !check_420_header(cinfo, eh, ew)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.raw_data_out = TRUE;
+  cinfo.out_color_space = JCS_YCbCr;
+  jpeg_start_decompress(&cinfo);
+  const int cw = ew / 2;
+  uint8_t* cb = c;
+  uint8_t* cr = c + static_cast<size_t>(eh / 2) * cw;
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int base = static_cast<int>(cinfo.output_scanline);
+    for (int i = 0; i < 16; ++i)
+      yrows[i] = y + static_cast<size_t>(base + i) * ew;
+    for (int i = 0; i < 8; ++i) {
+      cbrows[i] = cb + static_cast<size_t>(base / 2 + i) * cw;
+      crrows[i] = cr + static_cast<size_t>(base / 2 + i) * cw;
+    }
+    if (jpeg_read_raw_data(&cinfo, planes, 16) == 0) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -465,7 +608,7 @@ extern "C" {
 // after dlopen and forces a rebuild on mismatch, so a stale cached
 // .build/libingest.so (e.g. restored with a newer-than-source mtime)
 // fails safe instead of corrupting argument marshalling.
-int ingest_abi_version(void) { return 3; }
+int ingest_abi_version(void) { return 4; }
 
 // Decode one JPEG; returns buffer (BGR u8) or null. Caller must free_buffer.
 uint8_t* ingest_decode(const uint8_t* data, size_t len, int max_dim_hint,
@@ -539,6 +682,77 @@ int ingest_decode_resize_batch(const uint8_t** datas, const size_t* lens,
           src_hw[2 * i] = (rc == 0) ? sh : 0;
           src_hw[2 * i + 1] = (rc == 0) ? sw : 0;
         }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  int total = 0;
+  for (int i = 0; i < n; ++i) {
+    if (ok) ok[i] = success[i];
+    total += success[i];
+  }
+  return total;
+}
+
+// Batched entropy-only decode ("coef" wire plane). Layouts per entry i:
+//   coef_y + i*yb*64   (yb, 64) i16, yb = (expect_h/8)*(expect_w/8)
+//   coef_c + i*2*cb*64 (2, cb, 64) i16, cb = yb/4
+//   qtab  + i*2*64     (2, 64) u16 natural order (luma, chroma)
+// ok[i] = 1 when the entry was decoded via coefficients, 0 -> caller must
+// fall back to the full-decode path. Returns the number of 1s.
+int ingest_decode_coefs_batch(const uint8_t** datas, const size_t* lens,
+                              int expect_h, int expect_w, int16_t* coef_y,
+                              int16_t* coef_c, uint16_t* qtab, int n,
+                              int n_threads, int* ok) {
+  if (expect_h % 16 != 0 || expect_w % 16 != 0) return 0;
+  const size_t yb = static_cast<size_t>(expect_h / 8) * (expect_w / 8);
+  const size_t cb = yb / 4;
+  if (n_threads <= 0)
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min(n_threads, n));
+  std::vector<std::thread> pool;
+  std::vector<int> success(n, 0);
+  for (int t = 0; t < n_threads; ++t) {
+    pool.emplace_back([&, t]() {
+      for (int i = t; i < n; i += n_threads) {
+        success[i] = decode_coefs_one(
+            datas[i], lens[i], expect_h, expect_w,
+            coef_y + static_cast<size_t>(i) * yb * 64,
+            coef_c + static_cast<size_t>(i) * 2 * cb * 64,
+            qtab + static_cast<size_t>(i) * 2 * 64);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  int total = 0;
+  for (int i = 0; i < n; ++i) {
+    if (ok) ok[i] = success[i];
+    total += success[i];
+  }
+  return total;
+}
+
+// Batched raw 4:2:0 decode ("ycbcr420" wire plane). Layouts per entry i:
+//   y + i*h*w          (h, w) u8
+//   c + i*2*(h/2)*(w/2) (2, h/2, w/2) u8 (Cb then Cr)
+int ingest_decode_raw420_batch(const uint8_t** datas, const size_t* lens,
+                               int expect_h, int expect_w, uint8_t* y,
+                               uint8_t* c, int n, int n_threads, int* ok) {
+  if (expect_h % 16 != 0 || expect_w % 16 != 0) return 0;
+  const size_t ybytes = static_cast<size_t>(expect_h) * expect_w;
+  const size_t cbytes = ybytes / 2;
+  if (n_threads <= 0)
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min(n_threads, n));
+  std::vector<std::thread> pool;
+  std::vector<int> success(n, 0);
+  for (int t = 0; t < n_threads; ++t) {
+    pool.emplace_back([&, t]() {
+      for (int i = t; i < n; i += n_threads) {
+        success[i] = decode_raw420_one(
+            datas[i], lens[i], expect_h, expect_w,
+            y + static_cast<size_t>(i) * ybytes,
+            c + static_cast<size_t>(i) * cbytes);
       }
     });
   }

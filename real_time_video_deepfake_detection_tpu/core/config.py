@@ -194,6 +194,21 @@ class ServerConfig:
     # full-decode path (docs/DESIGN.md "Known numeric deviations"). Off by
     # default: exactness is the contract.
     ingest_scaled_decode: bool = False
+    # Wire format for device-detect JPEG ingest — where the JPEG codec is
+    # split between host and device (native/ingest.cpp + ops/jpeg_decode.py;
+    # both BIT-EXACT vs the full host decode):
+    #   "bgr"       full decode on host, BGR u8 upload (3 B/px) — default.
+    #   "coef"      host does the Huffman/entropy decode ONLY; quantized DCT
+    #               coefficients upload (3 B/px); dequant/IDCT/upsample/color
+    #               run inside the tick. Collapses the per-core host-decode
+    #               ceiling (the reference's cv2.imdecode cost,
+    #               backend_server.py:140-142) by ~2-3x.
+    #   "ycbcr420"  host decodes to raw 4:2:0 planes (IDCT on host, no
+    #               upsample/color); 1.5 B/px upload — halves host->device
+    #               bytes for transfer-bound links.
+    # JPEGs that are not 8-bit YCbCr 4:2:0 at exactly detect_capture_hw fall
+    # back to the full-decode path automatically (second dispatch that tick).
+    ingest_plane: str = "bgr"
     # When the MTCNN aligner is active, expand each detector box up to a
     # multiple of this (clamped to the frame) before cropping. The JAX MTCNN
     # compiles one program per exact crop size (facenet is eager — any jit

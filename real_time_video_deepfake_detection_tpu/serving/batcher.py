@@ -286,19 +286,73 @@ def make_device_step_detect(net, spec, cfg: DetectorConfig,
 
     @jax.jit
     def step(params, frames_capture_u8, active, slot_idx, states):
-        (frames_256, faces_raw, has_face, face_hw, box,
-         n_faces) = detect_prep(frames_capture_u8, active)
-        sub = jax.tree.map(lambda s: s[slot_idx], states)
-        out, new_sub = _step_core(spec, step_cfg, params, frames_256,
-                                  faces_raw, has_face, face_hw, active, sub)
-        new_full = jax.tree.map(
-            lambda full, ns: full.at[slot_idx].set(ns), states, new_sub)
-        out["face_bbox"] = box
-        out["has_face"] = has_face
-        out["faces_detected"] = n_faces
-        return out, new_full
+        return _detect_tick(detect_prep, spec, step_cfg, params,
+                            frames_capture_u8, active, slot_idx, states)
 
     return step
+
+
+def _detect_tick(detect_prep, spec, step_cfg, params, frames_capture_u8,
+                 active, slot_idx, states):
+    """Shared compact-layout detect-tick body (capture frames already on
+    device): detection/forensics/align/classify/tracker, slot-indexed state
+    gather/scatter with a dummy row for padding."""
+    (frames_256, faces_raw, has_face, face_hw, box,
+     n_faces) = detect_prep(frames_capture_u8, active)
+    sub = jax.tree.map(lambda s: s[slot_idx], states)
+    out, new_sub = _step_core(spec, step_cfg, params, frames_256,
+                              faces_raw, has_face, face_hw, active, sub)
+    new_full = jax.tree.map(
+        lambda full, ns: full.at[slot_idx].set(ns), states, new_sub)
+    out["face_bbox"] = box
+    out["has_face"] = has_face
+    out["faces_detected"] = n_faces
+    return out, new_full
+
+
+def make_device_step_detect_wire(net, spec, cfg: DetectorConfig, wire: str,
+                                 capture_hw: Tuple[int, int],
+                                 mtcnn_params=None):
+    """Device-detect tick fed by a wire-format ingest plane instead of
+    decoded BGR frames (ServerConfig.ingest_plane; reference equivalent:
+    backend_server.py:140-142 always full-decodes on host). The JPEG codec
+    is split at a natural boundary and finished ON DEVICE with the
+    bit-exact libjpeg integer math from ops/jpeg_decode.py:
+
+      wire="coef":     inputs (coef_y i16 (B, yb, 64),
+                       coef_c i16 (B, 2, yb/4, 64), qtab u16 (B, 2, 64));
+                       device runs dequant -> islow IDCT -> fancy upsample
+                       -> YCbCr->BGR -> the normal detect tick. Host cost
+                       per frame collapses to the entropy scan.
+      wire="ycbcr420": inputs (y u8 (B, H, W), c u8 (B, 2, H/2, W/2));
+                       device runs upsample + color only. The wire carries
+                       1.5 B/px (half of BGR) — for transfer-bound links.
+
+    Inactive rows may carry GARBAGE wire data (the pooled host decode
+    flags ineligible entries instead of compacting the batch): int-only
+    math cannot produce NaN, outputs clamp, and active=False masks every
+    state update, so garbage rows are dead weight, not corruption.
+    """
+    from ..ops.jpeg_decode import bgr_from_coefs_420, bgr_from_ycbcr420
+
+    detect_prep, step_cfg = _make_detect_prep(net, cfg, mtcnn_params)
+    hc, wc = capture_hw
+
+    if wire == "coef":
+        @jax.jit
+        def step(params, coef_y, coef_c, qtab, active, slot_idx, states):
+            frames = bgr_from_coefs_420(coef_y, coef_c, qtab, hc, wc)
+            return _detect_tick(detect_prep, spec, step_cfg, params, frames,
+                                active, slot_idx, states)
+        return step
+    if wire == "ycbcr420":
+        @jax.jit
+        def step(params, y, c, active, slot_idx, states):
+            frames = bgr_from_ycbcr420(y, c)
+            return _detect_tick(detect_prep, spec, step_cfg, params, frames,
+                                active, slot_idx, states)
+        return step
+    raise ValueError(f"unknown ingest wire plane: {wire!r}")
 
 
 def _make_detect_prep(net, cfg: DetectorConfig, mtcnn_params=None):

@@ -195,6 +195,7 @@ class MultiStreamEngine:
         # crop/align fused into the tick. Requires SSD weights and the
         # resize aligner (MTCNN re-detects on host and cannot be fused).
         self._detect_steps = None
+        self._wire_steps = None
         if server_cfg.device_detect:
             mtcnn_params = None
             if cfg.mtcnn_device:
@@ -221,6 +222,26 @@ class MultiStreamEngine:
             self._detect_steps = {
                 c: make_device_step_detect(net, self.spec, c, mtcnn_params)
                 for c in dict.fromkeys(self._tick_cfgs)}
+            if server_cfg.ingest_plane != "bgr":
+                if server_cfg.ingest_plane not in ("coef", "ycbcr420"):
+                    raise ValueError(
+                        f"unknown ingest_plane {server_cfg.ingest_plane!r} "
+                        "(expected 'bgr', 'coef' or 'ycbcr420')")
+                ch, cw = server_cfg.detect_capture_hw
+                if ch % 16 or cw % 16:
+                    raise ValueError(
+                        "ingest_plane wire formats need detect_capture_hw "
+                        f"divisible by 16 (got {server_cfg.detect_capture_hw})")
+                from .batcher import make_device_step_detect_wire
+                self._wire_steps = {
+                    c: make_device_step_detect_wire(
+                        net, self.spec, c, server_cfg.ingest_plane,
+                        server_cfg.detect_capture_hw, mtcnn_params)
+                    for c in dict.fromkeys(self._tick_cfgs)}
+        if server_cfg.ingest_plane != "bgr" and not server_cfg.device_detect:
+            raise ValueError("ingest_plane wire formats require "
+                             "device_detect=True (the decode finishes "
+                             "inside the device tick)")
 
         self.n_slots = server_cfg.max_streams
         # +1 dummy row: padded entries of compact (occupancy-bucketed)
@@ -284,6 +305,24 @@ class MultiStreamEngine:
                         jnp.zeros((b,), bool),
                         jnp.full((b,), self.n_slots, jnp.int32), self.states)
                     jax.block_until_ready(out["verdict"])
+            if self._wire_steps is not None:
+                plane = self.server_cfg.ingest_plane
+                yb = (ch // 8) * (cw // 8)
+                for step in dict.fromkeys(self._wire_steps.values()):
+                    for b in self.buckets:
+                        if plane == "coef":
+                            wire = (jnp.zeros((b, yb, 64), jnp.int16),
+                                    jnp.zeros((b, 2, yb // 4, 64), jnp.int16),
+                                    jnp.zeros((b, 2, 64), jnp.uint16))
+                        else:   # ycbcr420
+                            wire = (jnp.zeros((b, ch, cw), jnp.uint8),
+                                    jnp.zeros((b, 2, ch // 2, cw // 2),
+                                              jnp.uint8))
+                        out, _ = step(
+                            self.params, *wire, jnp.zeros((b,), bool),
+                            jnp.full((b,), self.n_slots, jnp.int32),
+                            self.states)
+                        jax.block_until_ready(out["verdict"])
             return
         h, w = self.cfg.forensic.analysis_size
         m = self.cfg.mtcnn_image_size
@@ -693,17 +732,106 @@ class MultiStreamEngine:
                 self._pending_reset = None
             self.states = new_states
         # blocks only when `pipeline_depth` ticks are already in flight
-        self._inflight.put((out, entries, has_face, t_dev))
+        self._inflight.put((out, entries, has_face, t_dev, None))
+
+    def _run_tick_wire(self, jpeg_entries: List[_Pending]) -> Optional[set]:
+        """Wire-format ingest dispatch (ServerConfig.ingest_plane "coef" /
+        "ycbcr420"): ONE pooled native call splits the JPEG codec at the
+        entropy (or raw-plane) boundary, decoding straight into the padded
+        bucket batch; the device tick finishes the decode bit-exactly
+        (ops/jpeg_decode.py) before detection. Ineligible entries (not
+        YCbCr 4:2:0 at the capture size) stay flagged inactive here and are
+        returned to the caller's full-decode fallback path.
+
+        Returns the set of id()s of entries this dispatch handled, or None
+        when the native wire decode is unavailable (caller does everything
+        the legacy way)."""
+        from ..utils import native_ingest as NI
+        ch, cw = self.server_cfg.detect_capture_hw
+        plane = self.server_cfg.ingest_plane
+        t_prep = time.time()
+        n = len(jpeg_entries)
+        b = self._bucket_for(n)
+        datas = [p.jpeg for p in jpeg_entries]
+        if plane == "coef":
+            res = NI.decode_coefs_batch(datas, ch, cw,
+                                        self.server_cfg.prep_threads,
+                                        pad_to=b)
+            if res is None:
+                return None
+            coef_y, coef_c, qtab, ok = res
+            wire = (jnp.asarray(coef_y), jnp.asarray(coef_c),
+                    jnp.asarray(qtab))
+        else:   # ycbcr420
+            res = NI.decode_raw420_batch(datas, ch, cw,
+                                         self.server_cfg.prep_threads,
+                                         pad_to=b)
+            if res is None:
+                return None
+            y, c, ok = res
+            wire = (jnp.asarray(y), jnp.asarray(c))
+        if not ok.any():
+            return set()    # nothing eligible; no dispatch needed
+        self._ewma("ewma_host_prep_ms", (time.time() - t_prep) * 1000)
+
+        active = np.zeros(b, bool)
+        slot_idx = np.full(b, self.n_slots, np.int32)
+        entries: List[_Pending] = []
+        rows: List[int] = []
+        handled = set()
+        for i, p in enumerate(jpeg_entries):
+            if not ok[i]:
+                continue
+            active[i] = True
+            slot_idx[i] = p.stream_slot
+            entries.append(p)
+            rows.append(i)
+            handled.add(id(p))
+            if p.need_dims:
+                # eligibility proved dims == detect_capture_hw exactly
+                p.orig_hw = None
+
+        t_dev = time.time()
+        with self.lock:
+            interval = self.cfg.full_forensic_interval
+            step = self._wire_steps[
+                self._tick_cfgs[0 if self._tick_no % interval == 0 else 1]]
+            self._tick_no += 1
+            states = self.states
+            self._pending_reset = None
+        out, new_states = step(self.params, *wire, jnp.asarray(active),
+                               jnp.asarray(slot_idx), states)
+        with self.lock:
+            if self._pending_reset is not None:
+                new_states = reset_streams(
+                    new_states, jnp.asarray(self._pending_reset))
+                self._pending_reset = None
+            self.states = new_states
+        self._inflight.put((out, entries, None, t_dev, np.asarray(rows)))
+        return handled
 
     def _run_tick_detect(self, batch: List[_Pending]):
         """Device-detect tick. Host work: ONE pooled native decode+resize
         call for every JPEG request in the tick (ingest_decode_resize_batch,
         ServerConfig.prep_threads workers, GIL released) + stacking; SSD
         detection, resizes, crop/align and classification run in ONE
-        dispatched program (batcher.make_device_step_detect)."""
+        dispatched program (batcher.make_device_step_detect).
+
+        With a wire-format ingest_plane, JPEG entries route through
+        _run_tick_wire first; only ineligible ones (plus raw-frame
+        requests) fall through to this full-decode path as a second
+        dispatch — per-slot ordering holds because a slot appears at most
+        once per tick."""
         ch, cw = self.server_cfg.detect_capture_hw
         t_prep = time.time()
         jpeg_entries = [p for p in batch if p.jpeg is not None]
+        if jpeg_entries and self._wire_steps is not None:
+            handled = self._run_tick_wire(jpeg_entries)
+            if handled is not None:
+                batch = [p for p in batch if id(p) not in handled]
+                if not batch:
+                    return
+                jpeg_entries = [p for p in batch if p.jpeg is not None]
         if jpeg_entries:
             from ..utils.native_ingest import decode_resize_batch
             decoded, ok, src_dims = decode_resize_batch(
@@ -773,7 +901,7 @@ class MultiStreamEngine:
                 self._pending_reset = None
             self.states = new_states
         # has_face=None: the drainer reads it from the device output
-        self._inflight.put((out, entries, None, t_dev))
+        self._inflight.put((out, entries, None, t_dev, None))
 
     def _drain_loop(self):
         while not self._stop:
@@ -781,7 +909,7 @@ class MultiStreamEngine:
                 item = self._inflight.get(timeout=0.1)
             except queue.Empty:
                 continue
-            out_dev, entries, has_face, t_dev = item
+            out_dev, entries, has_face, t_dev, rows = item
             try:
                 # one bulk device->host fetch (per-array fetches each pay a
                 # round trip on remote runtimes)
@@ -792,7 +920,7 @@ class MultiStreamEngine:
                     p.event.set()
                 continue
             try:
-                self._complete(out, entries, has_face, t_dev)
+                self._complete(out, entries, has_face, t_dev, rows)
             except Exception as e:
                 # The drainer must survive ANY completion error: if this
                 # thread dies, the batcher fills the bounded _inflight queue
@@ -807,7 +935,13 @@ class MultiStreamEngine:
                         p.event.set()
 
     def _complete(self, out: Dict[str, np.ndarray],
-                  entries: List[_Pending], has_face, t_dev: float):
+                  entries: List[_Pending], has_face, t_dev: float,
+                  rows=None):
+        if rows is not None:
+            # wire-ingest ticks leave ineligible entries in place as
+            # inactive rows instead of compacting the batch (zero-copy
+            # pooled decode); map entry k to its device row rows[k]
+            out = {k: v[rows] for k, v in out.items()}
         if has_face is None:   # device-detect mode: detection ran on device
             has_face = out["has_face"]
         m = self.metrics

@@ -286,7 +286,18 @@ def main(argv=None):
                         "(the reference's full face path in one program); "
                         "the cascade sees the crop resized to 160 "
                         "(documented deviation, docs/DESIGN.md)")
+    p.add_argument("--ingest-plane", default="bgr",
+                   choices=["bgr", "coef", "ycbcr420"],
+                   help="with --device-detect: wire format for JPEG ingest. "
+                        "'coef' = host does entropy decode only, the tick "
+                        "finishes the decode on device (bit-exact; "
+                        "collapses the per-core host decode ceiling); "
+                        "'ycbcr420' = raw 4:2:0 planes, half the "
+                        "host->device bytes (bit-exact). Ineligible JPEGs "
+                        "fall back to the full-decode path automatically")
     args = p.parse_args(argv)
+    if args.ingest_plane != "bgr" and not args.device_detect:
+        raise SystemExit("--ingest-plane requires --device-detect")
     import dataclasses as _dc
     from ..models import backbones
     spec = backbones.make(args.backbone)
@@ -339,7 +350,8 @@ def main(argv=None):
                             max_batch=args.max_batch,
                             batch_timeout_ms=args.batch_timeout_ms,
                             device_detect=args.device_detect,
-                            ingest_scaled_decode=args.scaled_decode)
+                            ingest_scaled_decode=args.scaled_decode,
+                            ingest_plane=args.ingest_plane)
         params = _load_params()
         clip_head = None
         if args.clip_head:

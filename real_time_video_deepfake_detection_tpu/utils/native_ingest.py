@@ -24,7 +24,7 @@ _BUILD_DIR = os.path.join(_REPO_ROOT, ".build")
 # carry a newer-than-source mtime (rsync/archive restores, shared build
 # caches) and dlopen caches by path — calling an old-ABI library through
 # the new bindings would corrupt argument marshalling (segfault).
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 _SO = os.path.join(_BUILD_DIR, f"libingest_v{_ABI_VERSION}.so")
 
 _lock = threading.Lock()
@@ -106,6 +106,17 @@ def get_lib():
         lib.ingest_lab2bgr.restype = ctypes.c_int
         lib.ingest_lab2bgr.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        lib.ingest_decode_coefs_batch.restype = ctypes.c_int
+        lib.ingest_decode_coefs_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.ingest_decode_raw420_batch.restype = ctypes.c_int
+        lib.ingest_decode_raw420_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
         lib.ingest_prep_frame.restype = ctypes.c_int
         lib.ingest_prep_frame.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -177,6 +188,63 @@ def decode_resize_batch(datas: List[bytes], dh: int = 256,
     if with_dims:
         return out, ok_arr, dims
     return out, ok_arr
+
+
+def decode_coefs_batch(datas: List[bytes], h: int, w: int,
+                       n_threads: int = 0, pad_to: int = 0):
+    """Entropy-only ("coef" wire plane) batch decode: Huffman decode on the
+    host, NOTHING else — dequant/IDCT/upsample/color run on device
+    (ops/jpeg_decode.py, bit-exact libjpeg integer math).
+
+    Returns (coef_y (N, yb, 64) i16, coef_c (N, 2, yb//4, 64) i16,
+    qtab (N, 2, 64) u16 natural order, ok bool (N,)) or None when the
+    native library is unavailable. ok[i] is False for entries that are not
+    8-bit baseline/progressive YCbCr 4:2:0 at exactly (h, w) — the caller
+    falls back to the full-decode path for those. h, w must divide by 16.
+
+    pad_to > len(datas) allocates the output arrays with that leading dim
+    (rows beyond len(datas) uninitialized; qtab rows zeroed) so the serving
+    tick can decode straight into its padded bucket batch, zero copies."""
+    lib = get_lib()
+    if lib is None or h % 16 or w % 16:
+        return None
+    n = len(datas)
+    rows = max(n, pad_to)
+    yb = (h // 8) * (w // 8)
+    coef_y = np.empty((rows, yb, 64), np.int16)
+    coef_c = np.empty((rows, 2, yb // 4, 64), np.int16)
+    qtab = np.zeros((rows, 2, 64), np.uint16)
+    ok = (ctypes.c_int * n)()
+    arr_p = (ctypes.c_char_p * n)(*datas)
+    arr_l = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    lib.ingest_decode_coefs_batch(
+        arr_p, arr_l, h, w, coef_y.ctypes.data, coef_c.ctypes.data,
+        qtab.ctypes.data, n, n_threads, ok)
+    return coef_y, coef_c, qtab, np.ctypeslib.as_array(ok).astype(bool).copy()
+
+
+def decode_raw420_batch(datas: List[bytes], h: int, w: int,
+                        n_threads: int = 0, pad_to: int = 0):
+    """Raw 4:2:0 ("ycbcr420" wire plane) batch decode: entropy decode +
+    IDCT on the host, but upsample/color-convert on device — the wire
+    carries 1.5 B/px instead of BGR's 3 B/px (halves host->device traffic).
+
+    Returns (y (N, h, w) u8, c (N, 2, h//2, w//2) u8 Cb-then-Cr, ok bool)
+    or None when the native library is unavailable. Eligibility and
+    fallback semantics match decode_coefs_batch (incl. pad_to)."""
+    lib = get_lib()
+    if lib is None or h % 16 or w % 16:
+        return None
+    n = len(datas)
+    rows = max(n, pad_to)
+    y = np.empty((rows, h, w), np.uint8)
+    c = np.empty((rows, 2, h // 2, w // 2), np.uint8)
+    ok = (ctypes.c_int * n)()
+    arr_p = (ctypes.c_char_p * n)(*datas)
+    arr_l = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    lib.ingest_decode_raw420_batch(
+        arr_p, arr_l, h, w, y.ctypes.data, c.ctypes.data, n, n_threads, ok)
+    return y, c, np.ctypeslib.as_array(ok).astype(bool).copy()
 
 
 def detect_heuristic_native(frame_bgr: np.ndarray):
