@@ -443,7 +443,8 @@ def _make_detect_prep(net, cfg: DetectorConfig, mtcnn_params=None):
 
 
 def make_sharded_device_step_detect(mesh, net, spec, cfg: DetectorConfig,
-                                    mtcnn_params=None):
+                                    mtcnn_params=None, wire: str = None,
+                                    capture_hw: Tuple[int, int] = None):
     """Multi-chip device-detect tick over a ("data",) mesh: the STREAM axis
     of frames/state is partitioned across chips — each chip runs SSD
     detection, forensics, crop/align(/CLAHE) and classification for its
@@ -452,12 +453,18 @@ def make_sharded_device_step_detect(mesh, net, spec, cfg: DetectorConfig,
     emits zero steady-state collectives and aggregate capture->verdict
     throughput scales linearly with chips. Uses the dense (non-compact)
     layout: states row i belongs to entry i; n_streams must divide by the
-    mesh size. Exercised on the virtual CPU mesh by the driver dryrun."""
+    mesh size. Exercised on the virtual CPU mesh by the driver dryrun.
+
+    wire="coef"/"ycbcr420" (with capture_hw) makes the step consume a
+    wire-format ingest plane instead of decoded BGR frames: each chip
+    finishes the JPEG decode for ITS shard of streams on device
+    (ops/jpeg_decode.py) — the per-stream wire tensors shard on the same
+    stream axis, so the split costs no collectives either."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     detect_prep, step_cfg = _make_detect_prep(net, cfg, mtcnn_params)
 
-    def body(params, frames_capture_u8, active, states):
+    def _finish(params, frames_capture_u8, active, states):
         (frames_256, faces_raw, has_face, face_hw, box,
          n_faces) = detect_prep(frames_capture_u8, active)
         out, new_states = _step_core(spec, step_cfg, params, frames_256,
@@ -470,7 +477,25 @@ def make_sharded_device_step_detect(mesh, net, spec, cfg: DetectorConfig,
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(body, in_shardings=(repl, data, data, data),
+    if wire is None:
+        return jax.jit(_finish, in_shardings=(repl, data, data, data),
+                       out_shardings=(data, data))
+    from ..ops.jpeg_decode import bgr_from_coefs_420, bgr_from_ycbcr420
+    hc, wc = capture_hw
+    if wire == "coef":
+        def body(params, coef_y, coef_c, qtab, active, states):
+            frames = bgr_from_coefs_420(coef_y, coef_c, qtab, hc, wc)
+            return _finish(params, frames, active, states)
+        n_wire = 3
+    elif wire == "ycbcr420":
+        def body(params, y, c, active, states):
+            frames = bgr_from_ycbcr420(y, c)
+            return _finish(params, frames, active, states)
+        n_wire = 2
+    else:
+        raise ValueError(f"unknown ingest wire plane: {wire!r}")
+    return jax.jit(body,
+                   in_shardings=(repl,) + (data,) * n_wire + (data, data),
                    out_shardings=(data, data))
 
 

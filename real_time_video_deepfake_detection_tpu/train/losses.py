@@ -12,9 +12,12 @@ def focal_loss_with_smoothing(logits: jax.Array, labels: jax.Array,
                               label_smoothing: float = 0.1) -> jax.Array:
     """Binary focal loss, mean-reduced.
 
-    Matches the reference semantics (train.py:360-392): targets smoothed to
-    y*(1-ls)+0.5*ls, p = sigmoid(logit), focal weight (1-p_t)^gamma, class
-    balance alpha for positives / (1-alpha) for negatives.
+    Matches the reference semantics (train.py:380-392) EXACTLY: targets are
+    smoothed to y*(1-ls)+0.5*ls first, and the SMOOTHED targets feed all
+    three terms — the BCE, p_t, and alpha_t (the reference reassigns
+    `targets` before computing any of them). With ls=0.1 that makes p_t
+    continuous rather than a hard class-select; trajectory-verified against
+    the torch FocalLoss in tests/test_torch_trajectory.py.
     """
     labels = labels.astype(jnp.float32)
     y = labels * (1.0 - label_smoothing) + 0.5 * label_smoothing
@@ -22,8 +25,8 @@ def focal_loss_with_smoothing(logits: jax.Array, labels: jax.Array,
     log_not_p = jax.nn.log_sigmoid(-logits)
     bce = -(y * log_p + (1.0 - y) * log_not_p)
     p = jax.nn.sigmoid(logits)
-    p_t = labels * p + (1.0 - labels) * (1.0 - p)
-    a_t = labels * alpha + (1.0 - labels) * (1.0 - alpha)
+    p_t = y * p + (1.0 - y) * (1.0 - p)
+    a_t = y * alpha + (1.0 - y) * (1.0 - alpha)
     return jnp.mean(a_t * (1.0 - p_t) ** gamma * bce)
 
 

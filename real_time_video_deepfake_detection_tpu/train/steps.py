@@ -57,6 +57,47 @@ def _ema_update(ema_params, new_params, decay):
         lambda path, e, p: p if _is_bn_stat(path) else e, ema, new_params)
 
 
+def onecycle_cos_schedule(total_steps: int, peak: float,
+                          pct_start: float = 0.1, div_factor: float = 25.0,
+                          final_div_factor: float = 1000.0):
+    """torch.optim.lr_scheduler.OneCycleLR, bit-for-bit — the reference's
+    scheduler with its exact arguments (train.py:916-923: pct_start=0.1,
+    anneal_strategy='cos', div_factor=25, final_div_factor=1000).
+
+    Not optax.cosine_onecycle_schedule, for two reasons: (1) torch uses
+    FLOAT phase boundaries offset by -1 (`pct_start*total_steps - 1`), so
+    the two disagree at every step; (2) optax's integer interval widths
+    collapse to zero when pct_start*total_steps < 1, silently yielding a
+    NaN lr that poisons every trainable parameter on the first update.
+    This version is finite for any total_steps >= 1 and is verified against
+    torch by tests/test_torch_trajectory.py.
+
+    `sched(i)` is the lr the torch loop uses at 0-based optimizer step i
+    (OneCycleLR primes lr at construction; scheduler.step() runs AFTER each
+    optimizer.step(), train.py:607-609).
+    """
+    initial = peak / div_factor
+    min_lr = initial / final_div_factor
+    e1 = pct_start * total_steps - 1.0   # end of warmup phase
+    e2 = float(total_steps) - 1.0        # end of anneal phase
+
+    def _anneal(a, b, pct):
+        return b + (a - b) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def sched(count):
+        c = jnp.asarray(count, jnp.float32)
+        if e1 > 0:
+            lr1 = _anneal(initial, peak, c / e1)
+        else:
+            # degenerate warmup (< 1 step): torch never enters phase 1
+            lr1 = jnp.float32(peak)
+        pct2 = jnp.clip((c - e1) / (e2 - e1), 0.0, 1.0) if e2 > e1 else 1.0
+        lr2 = _anneal(peak, min_lr, pct2)
+        return jnp.where((c <= e1) if e1 > 0 else False, lr1, lr2)
+
+    return sched
+
+
 def make_optimizer(cfg: TrainConfig, total_steps: int,
                    n_blocks: Optional[int] = None,
                    spec=None) -> optax.GradientTransformation:
@@ -69,13 +110,7 @@ def make_optimizer(cfg: TrainConfig, total_steps: int,
     BN running stats are masked out of the optimizer entirely (they update
     through the forward pass).
     """
-    # optax.cosine_onecycle_schedule divides by the warmup/decay interval
-    # widths; transition_steps <= 2 makes one of them zero -> NaN lr that
-    # silently NaNs every trainable parameter on the first update. Clamp so
-    # smoke-sized runs (1-2 total steps) stay finite.
-    sched = optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 4), peak_value=cfg.lr,
-        pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
+    sched = onecycle_cos_schedule(total_steps, cfg.lr)
 
     if spec is None:
         spec = EfficientNetSpec.make("b0")
@@ -94,13 +129,38 @@ def make_optimizer(cfg: TrainConfig, total_steps: int,
              weight_decay=cfg.weight_decay),
          "frozen": optax.set_to_zero()},
         lr_mask)
-    tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
+
+    # Frozen params carry requires_grad=False in the reference, so their
+    # grads are None and torch.nn.utils.clip_grad_norm_ (train.py:599) never
+    # sees them. jax.grad always materializes the full tree — zero the
+    # frozen leaves BEFORE the global-norm clip so the clip scale matches
+    # torch's exactly (trajectory-verified).
+    def _zero_frozen(updates, state, params=None):
+        del params
+        zeroed = jax.tree_util.tree_map_with_path(
+            lambda path, g: jnp.zeros_like(g)
+            if backbones.lr_group(spec, path, n_frozen) == "frozen" else g,
+            updates)
+        return zeroed, state
+    tx = optax.chain(
+        optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                     _zero_frozen),
+        optax.clip_by_global_norm(cfg.clip_norm), tx)
 
     def stat_mask(params):
         return jax.tree_util.tree_map_with_path(
             lambda path, _: not _is_bn_stat(path), params)
 
-    return optax.masked(tx, stat_mask)
+    # Skip-step parity with the reference's GradScaler (train.py:591-601):
+    # scaler.step() silently drops any optimizer step whose unscaled grads
+    # contain inf/NaN. bf16-on-TPU needs no loss scaling, but the SKIP
+    # behavior still matters — a degenerate batch (e.g. all-black frames:
+    # BN batch variance is exactly 0, so the backward pass amplifies by
+    # rsqrt(eps)≈316 per BN layer until f32 overflows into inf·0=NaN)
+    # would otherwise poison the params permanently. The huge error budget
+    # means "never accept a non-finite step", same as GradScaler.
+    return optax.apply_if_finite(optax.masked(tx, stat_mask),
+                                 max_consecutive_errors=10**6)
 
 
 def init_train_state(params, cfg: TrainConfig, total_steps: int,

@@ -25,6 +25,37 @@ from real_time_video_deepfake_detection_tpu.utils.torch_convert import (
 SPEC = EfficientNetSpec.make("b0")
 
 
+def transformers_b0_key_mapping(spec):
+    """transformers EfficientNetModel key -> reference-style key (net._*).
+    Shared with tests/test_torch_trajectory.py, which rebuilds the reference
+    training recipe around the same donor torch backbone."""
+    mapping = {}
+    mapping["embeddings.convolution.weight"] = "net._conv_stem.weight"
+    for a, b in [("weight", "weight"), ("bias", "bias"),
+                 ("running_mean", "running_mean"), ("running_var", "running_var")]:
+        mapping[f"embeddings.batchnorm.{a}"] = f"net._bn0.{b}"
+    for i, blk in enumerate(spec.blocks):
+        p, q = f"encoder.blocks.{i}", f"net._blocks.{i}"
+        if blk.expand != 1:
+            mapping[f"{p}.expansion.expand_conv.weight"] = f"{q}._expand_conv.weight"
+            for a in ["weight", "bias", "running_mean", "running_var"]:
+                mapping[f"{p}.expansion.expand_bn.{a}"] = f"{q}._bn0.{a}"
+        mapping[f"{p}.depthwise_conv.depthwise_conv.weight"] = f"{q}._depthwise_conv.weight"
+        for a in ["weight", "bias", "running_mean", "running_var"]:
+            mapping[f"{p}.depthwise_conv.depthwise_norm.{a}"] = f"{q}._bn1.{a}"
+        mapping[f"{p}.squeeze_excite.reduce.weight"] = f"{q}._se_reduce.weight"
+        mapping[f"{p}.squeeze_excite.reduce.bias"] = f"{q}._se_reduce.bias"
+        mapping[f"{p}.squeeze_excite.expand.weight"] = f"{q}._se_expand.weight"
+        mapping[f"{p}.squeeze_excite.expand.bias"] = f"{q}._se_expand.bias"
+        mapping[f"{p}.projection.project_conv.weight"] = f"{q}._project_conv.weight"
+        for a in ["weight", "bias", "running_mean", "running_var"]:
+            mapping[f"{p}.projection.project_bn.{a}"] = f"{q}._bn2.{a}"
+    mapping["encoder.top_conv.weight"] = "net._conv_head.weight"
+    for a in ["weight", "bias", "running_mean", "running_var"]:
+        mapping[f"encoder.top_bn.{a}"] = f"net._bn1.{a}"
+    return mapping
+
+
 def test_architecture_shape():
     assert len(SPEC.blocks) == 16              # reference train.py:863-876
     assert SPEC.stem_filters == 32
@@ -115,30 +146,7 @@ def test_backbone_parity_vs_transformers_torch():
 
     # reference-style naming -> transformers naming
     tsd = tm.state_dict()
-    mapping = {}
-    mapping["embeddings.convolution.weight"] = "net._conv_stem.weight"
-    for a, b in [("weight", "weight"), ("bias", "bias"),
-                 ("running_mean", "running_mean"), ("running_var", "running_var")]:
-        mapping[f"embeddings.batchnorm.{a}"] = f"net._bn0.{b}"
-    for i, blk in enumerate(SPEC.blocks):
-        p, q = f"encoder.blocks.{i}", f"net._blocks.{i}"
-        if blk.expand != 1:
-            mapping[f"{p}.expansion.expand_conv.weight"] = f"{q}._expand_conv.weight"
-            for a in ["weight", "bias", "running_mean", "running_var"]:
-                mapping[f"{p}.expansion.expand_bn.{a}"] = f"{q}._bn0.{a}"
-        mapping[f"{p}.depthwise_conv.depthwise_conv.weight"] = f"{q}._depthwise_conv.weight"
-        for a in ["weight", "bias", "running_mean", "running_var"]:
-            mapping[f"{p}.depthwise_conv.depthwise_norm.{a}"] = f"{q}._bn1.{a}"
-        mapping[f"{p}.squeeze_excite.reduce.weight"] = f"{q}._se_reduce.weight"
-        mapping[f"{p}.squeeze_excite.reduce.bias"] = f"{q}._se_reduce.bias"
-        mapping[f"{p}.squeeze_excite.expand.weight"] = f"{q}._se_expand.weight"
-        mapping[f"{p}.squeeze_excite.expand.bias"] = f"{q}._se_expand.bias"
-        mapping[f"{p}.projection.project_conv.weight"] = f"{q}._project_conv.weight"
-        for a in ["weight", "bias", "running_mean", "running_var"]:
-            mapping[f"{p}.projection.project_bn.{a}"] = f"{q}._bn2.{a}"
-    mapping["encoder.top_conv.weight"] = "net._conv_head.weight"
-    for a in ["weight", "bias", "running_mean", "running_var"]:
-        mapping[f"encoder.top_bn.{a}"] = f"net._bn1.{a}"
+    mapping = transformers_b0_key_mapping(SPEC)
 
     new_sd = {}
     for tk, v in tsd.items():

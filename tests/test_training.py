@@ -35,14 +35,16 @@ def test_focal_loss_matches_manual():
     labels = jnp.asarray([1.0, 0.0, 1.0])
     got = float(focal_loss_with_smoothing(logits, labels, 2.0, 0.25, 0.1))
 
-    # manual numpy computation of the same formula
+    # manual numpy computation of the same formula — note the reference
+    # (train.py:380-392) reassigns `targets` to the smoothed values before
+    # computing bce, p_t AND alpha_t, so all three use the smoothed targets
     l = np.array([2.0, -1.0, 0.5])
     y = np.array([1.0, 0.0, 1.0])
     ys = y * 0.9 + 0.05
     p = 1 / (1 + np.exp(-l))
     bce = -(ys * np.log(p) + (1 - ys) * np.log(1 - p))
-    p_t = y * p + (1 - y) * (1 - p)
-    a_t = y * 0.25 + (1 - y) * 0.75
+    p_t = ys * p + (1 - ys) * (1 - p)
+    a_t = ys * 0.25 + (1 - ys) * 0.75
     want = float(np.mean(a_t * (1 - p_t) ** 2 * bce))
     assert got == pytest.approx(want, rel=1e-5)
 
@@ -289,6 +291,50 @@ def test_fused_train_step_learns_something():
     # EMA weights moved but much less
     de = wmax(state.ema_params["fc"], state2.ema_params["fc"])
     assert 0 < de < d
+
+
+@pytest.mark.slow
+def test_nonfinite_grads_skip_the_step_like_gradscaler():
+    """Skip-step parity with the reference's AMP GradScaler
+    (train.py:591-601): a batch whose gradients overflow must NOT poison the
+    params — scaler.step() drops such updates. A constant (all-zero) batch
+    triggers this deterministically: BN batch variance is exactly 0, so the
+    backward amplifies by rsqrt(eps) per BN layer until f32 overflows."""
+    from functools import partial
+
+    from real_time_video_deepfake_detection_tpu.train.steps import train_step
+
+    spec = EfficientNetSpec.make("b0")
+    cfg = TrainConfig(batch_size=8, lr=1e-3)
+    params = init_params(jax.random.PRNGKey(0), spec)
+    tx = make_optimizer(cfg, total_steps=8)
+    state = init_train_state(params, cfg, total_steps=8, tx=tx)
+    step = jax.jit(partial(train_step, spec=spec, cfg=cfg, tx=tx))
+
+    zeros = jnp.zeros((8, 64, 64, 3), jnp.float32)
+    labels = jnp.asarray((np.arange(8) % 2).astype(np.float32))
+    state1, m1 = step(state, zeros, labels)
+    assert not np.isfinite(float(m1["grad_norm"]))  # the batch IS degenerate
+
+    def weights_only_delta(a, b):
+        d = jax.tree_util.tree_map_with_path(
+            lambda path, x, y: 0.0 if any(
+                getattr(p, "key", None) in ("mean", "var") for p in path)
+            else float(jnp.abs(x - y).max()), a, b)
+        return max(jax.tree.leaves(d))
+
+    # every weight untouched and finite (BN buffers still update — the
+    # reference's BN running stats also update in forward even on skipped
+    # scaler steps)
+    assert weights_only_delta(params, state1.params) == 0.0
+    assert all(bool(jnp.isfinite(v).all())
+               for v in jax.tree.leaves(state1.params))
+
+    # and the very next healthy batch trains normally
+    imgs = jnp.asarray(rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32))
+    state2, m2 = step(state1, imgs, labels)
+    assert np.isfinite(float(m2["loss"])) and np.isfinite(float(m2["grad_norm"]))
+    assert weights_only_delta(state1.params, state2.params) > 0.0
 
 
 @pytest.mark.slow
