@@ -124,20 +124,25 @@ LinTab make_tab(int src, int dst) {
   t.a1.resize(dst);
   const double scale = static_cast<double>(src) / dst;
   for (int x = 0; x < dst; ++x) {
-    double fx = (x + 0.5) * scale - 0.5;
-    int sx = static_cast<int>(std::floor(fx));
-    fx -= sx;
+    // OpenCV computes the position in double but keeps the RESIDUAL in
+    // float: fxx = (float)((dx+0.5)*scale_x - 0.5); sx = cvFloor(fxx);
+    // fxx -= sx;  (resize.cpp). Keeping the residual in double and casting
+    // late flips the rounded Q11 coefficient on ~3% of columns for e.g.
+    // 640->300 — found by a round-5 parity drive, fixed here and in
+    // ops/resize.py in lockstep.
+    float f = static_cast<float>((x + 0.5) * scale - 0.5);
+    int sx = static_cast<int>(std::floor(f));
+    f -= static_cast<float>(sx);
     if (sx < 0) {
       sx = 0;
-      fx = 0.0;
+      f = 0.0f;
     }
     if (sx >= src - 1) {
       sx = src - 1;
-      fx = 0.0;
+      f = 0.0f;
     }
     t.s0[x] = sx;
     t.s1[x] = std::min(sx + 1, src - 1);
-    const float f = static_cast<float>(fx);
     // cvRound == round-half-even; nearbyint with default rounding matches.
     t.a1[x] = static_cast<int32_t>(std::nearbyintf(f * 2048.0f));
     t.a0[x] = static_cast<int32_t>(std::nearbyintf((1.0f - f) * 2048.0f));

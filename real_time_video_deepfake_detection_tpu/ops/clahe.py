@@ -238,8 +238,15 @@ def clahe_u8_batch(imgs: jax.Array, clip_limit: float = 2.0,
                     cy = min(max(y0 + dy, 0), tiles - 1)
                     cx = min(max(x0 + dx, 0), tiles - 1)
                     C[ty * tiles + tx, qd, c, cy * tiles + cx] = 1.0
-    lut_sel = jnp.einsum("bsv,tqcs->btqcv", luts.astype(mmt),
-                         jnp.asarray(C, mmt))             # exact: 8-bit LUTs
+    # corner selection as a STATIC take instead of a one-hot matmul: the
+    # einsum materialized a (B,T2,4,4,256) operand through a slow layout
+    # copy (790 us/tick at 79 GB/s in the round-5 roofline trace,
+    # tools/roofline_probe.py); a constant-index gather along the tile axis
+    # is the same selection (trivially exact) without the matmul or copy
+    sidx = np.argmax(C, axis=-1).astype(np.int32)        # (T2, 4, 4)
+    lut_sel = jnp.take(luts.astype(mmt),
+                       jnp.asarray(sidx.reshape(-1)),
+                       axis=1).reshape(B, T2, 4, 4, 256)
     if NIBBLE_LOOKUP:
         lut_hl = lut_sel.reshape(B, T2, 4, 4, 16, 16)
         # lookup via two rank-16 contractions; each has a single nonzero

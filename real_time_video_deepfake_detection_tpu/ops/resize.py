@@ -2,10 +2,17 @@
 
 Two variants:
   - resize_bilinear_u8_cv2: reproduces cv2.resize(..., INTER_LINEAR) on uint8
-    bit-for-bit, including OpenCV's fixed-point two-pass arithmetic
-    (INTER_RESIZE_COEF_BITS=11) and its silent switch to 2x2 area averaging
-    for exact 2x downscales. Needed because every forensic signal runs on
-    `cv2.resize(frame, (256,256))` output (reference frame_analysis.py:71).
+    bit-for-bit FOR DOWNSCALE/IDENTITY (every reference call site: 640x480
+    capture -> 256x256 forensic conform, frame_analysis.py:71, and -> 300x300
+    SSD conform, face_detection.py:77), including OpenCV's fixed-point
+    two-pass arithmetic (INTER_RESIZE_COEF_BITS=11, f32 residual positions)
+    and its silent switch to 2x2 area averaging for exact 2x downscales.
+    For UPSCALE (both axes growing — reached only by sub-224 face crops in
+    our own device aligner, never by a reference path), OpenCV >= 4.x
+    dispatches a separate fixed-point 8U kernel whose edge rows carry
+    per-row rounding jitter; we keep the classic kernel everywhere, which
+    matches it within 1 LSB on < 1% of pixels (measured; see docs/DESIGN.md
+    "Known numeric deviations" and tests/test_device_detect.py).
   - resize_bilinear_f32: float half-pixel bilinear, matching
     torch.nn.functional.interpolate(mode="bilinear", align_corners=False),
     used on the classifier path (reference deepfake_detection.py:383).
@@ -35,19 +42,25 @@ U8_MATMUL_HPASS = True
 
 @functools.lru_cache(maxsize=None)
 def _linear_tables(src: int, dst: int):
-    """OpenCV's per-axis sample indices and short coefficients."""
+    """OpenCV's per-axis sample indices and short coefficients.
+
+    The residual is FLOAT32 end-to-end, exactly as resize.cpp computes it:
+    `fxx = (float)((dx+0.5)*scale_x - 0.5); sx = cvFloor(fxx); fxx -= sx;`
+    — computing it in f64 and casting late changes the rounded coefficient
+    on ~3% of columns for e.g. 640->300 (found by a round-5 verify drive;
+    the old golden shapes 640->256 etc. happened to agree either way)."""
     scale = src / dst
     x = np.arange(dst, dtype=np.float64)
-    fx = (x + 0.5) * scale - 0.5
+    fx = np.float32((x + 0.5) * scale - 0.5)   # double product, f32 cast
     sx = np.floor(fx).astype(np.int64)
-    fx = fx - sx
-    fx = np.where(sx < 0, 0.0, fx)
+    fx = (fx - sx.astype(np.float32)).astype(np.float32)
+    fx = np.where(sx < 0, np.float32(0), fx)
     sx = np.maximum(sx, 0)
-    fx = np.where(sx >= src - 1, 0.0, fx)
+    fx = np.where(sx >= src - 1, np.float32(0), fx)
     sx = np.minimum(sx, src - 1)
     # saturate_cast<short>(f * 2048) with cvRound (half-to-even)
-    a1 = np.rint(np.float32(fx) * _COEF_SCALE).astype(np.int32)
-    a0 = np.rint((1.0 - np.float32(fx)) * _COEF_SCALE).astype(np.int32)
+    a1 = np.rint(fx * np.float32(_COEF_SCALE)).astype(np.int32)
+    a0 = np.rint((np.float32(1) - fx) * np.float32(_COEF_SCALE)).astype(np.int32)
     sx1 = np.minimum(sx + 1, src - 1)
     return sx, sx1, a0, a1
 
@@ -93,10 +106,15 @@ def resize_bilinear_u8_cv2(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
         Wq[sx1, np.arange(dst_w)] = 1.0
         mmt = _mm_dtype()
         imgb = img.astype(mmt)
-        P = jnp.einsum("hwc,wx->hxc", imgb, jnp.asarray(Wp).astype(mmt),
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
-        Q = jnp.einsum("hwc,wx->hxc", imgb, jnp.asarray(Wq).astype(mmt),
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        # P and Q in ONE matmul (columns [Wp | Wq]): each output column is
+        # the same single-nonzero contraction as before, so bit-exactness
+        # is untouched, but the image is read once instead of twice — the
+        # capture-resize h-pass was the heaviest resize op in the round-5
+        # roofline trace (tools/roofline_probe.py)
+        PQ = jnp.einsum("hwc,wx->hxc", imgb,
+                        jnp.asarray(np.concatenate([Wp, Wq], 1)).astype(mmt),
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+        P, Q = PQ[:, :dst_w], PQ[:, dst_w:]
         h = (jnp.asarray(ax0)[None, :, None] * P
              + jnp.asarray(ax1)[None, :, None] * Q)
         # Vertical pass with OpenCV's exact fixed-point cast (static row
@@ -113,41 +131,39 @@ def resize_bilinear_u8_cv2(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _dyn_coef_tables(dst: int):
-    """Host-precomputed coefficient lookup for the dynamic tables: for each
-    possible remainder r of the exact fraction r/(2*dst), the f32 fraction
-    and the rounded fixed-point coefficients, computed with numpy's IEEE
-    arithmetic. Device-side f32 division is NOT IEEE-correctly-rounded on
-    TPU (reciprocal-based), which flipped cvRound ties by 1 LSB — a table
-    gather by the integer remainder sidesteps device division entirely."""
-    den = 2 * dst
-    f = (np.arange(den, dtype=np.float64) / den).astype(np.float32)
-    a1 = np.rint(f * _COEF_SCALE).astype(np.int32)
-    a0 = np.rint((1.0 - f) * _COEF_SCALE).astype(np.int32)
-    return a0, a1
+def _dyn_f32_tables(dst: int, src_max: int):
+    """Stacked per-source-extent tables for the dynamic (traced-extent)
+    path: row `src` holds _linear_tables(src, dst), i.e. cv2's EXACT
+    f32-residual indices/coefficients for that extent. The device gathers
+    one row by the traced extent — no device-side float math at all
+    (TPU f32 division is reciprocal-based, not IEEE-rounded), and the
+    dynamic path stays bit-identical to the static one for every extent.
+    (Until round 5 this was a rational-remainder lookup, which matched
+    f64 positions — but cv2 computes positions in f32, which flips the
+    rounded Q11 coefficient on up to a few % of columns per extent.)"""
+    shape = (src_max + 1, dst)
+    sx_t = np.zeros(shape, np.int32)
+    sx1_t = np.zeros(shape, np.int32)
+    a0_t = np.zeros(shape, np.int32)
+    a1_t = np.zeros(shape, np.int32)
+    for src in range(1, src_max + 1):
+        sx, sx1, a0, a1 = _linear_tables(src, dst)
+        sx_t[src], sx1_t[src], a0_t[src], a1_t[src] = sx, sx1, a0, a1
+    # extent 0 cannot occur (crop w/h are floored at 1); mirror row 1 so
+    # the gather is total anyway
+    sx_t[0], sx1_t[0], a0_t[0], a1_t[0] = sx_t[1], sx1_t[1], a0_t[1], a1_t[1]
+    return sx_t, sx1_t, a0_t, a1_t
 
 
-def _dyn_linear_tables(src_size: jax.Array, dst: int):
+def _dyn_linear_tables(src_size: jax.Array, dst: int, src_max: int = 640):
     """OpenCV INTER_LINEAR sample indices/coefficients for a TRACED source
     extent (used by crop_resize_u8_cv2 for device-side face crops whose box
-    size is data-dependent). Arithmetic is integer-exact where the host
-    tables are: sx = floor(((2x+1)*src - dst) / (2*dst)) via floor division,
-    coefficients via the host-precomputed remainder lookup above."""
-    xs = jnp.arange(dst, dtype=jnp.int32)
-    src = src_size.astype(jnp.int32)
-    num = (2 * xs + 1) * src - dst          # 2*dst * fx, exactly
-    den = 2 * dst
-    sx = num // den                          # floor division (matches f64 floor)
-    rem = num - sx * den
-    # edge clamps zero the fraction BEFORE the coefficient lookup
-    rem = jnp.where(sx < 0, 0, rem)
-    sx = jnp.maximum(sx, 0)
-    rem = jnp.where(sx >= src - 1, 0, rem)
-    sx = jnp.minimum(sx, src - 1)
-    a0_tab, a1_tab = _dyn_coef_tables(dst)
-    a0 = jnp.asarray(a0_tab)[rem]
-    a1 = jnp.asarray(a1_tab)[rem]
-    sx1 = jnp.minimum(sx + 1, src - 1)
+    size is data-dependent): a single row gather from the host-precomputed
+    per-extent tables above. Extents beyond src_max clamp to src_max
+    (callers pass the enclosing image dimension, which bounds any crop)."""
+    tabs = _dyn_f32_tables(dst, src_max)
+    i = jnp.clip(src_size.astype(jnp.int32), 0, src_max)
+    sx, sx1, a0, a1 = (jnp.asarray(t)[i] for t in tabs)
     return sx, sx1, a0, a1
 
 
@@ -176,8 +192,8 @@ def crop_resize_u8_cv2(img: jax.Array, box_xywh: jax.Array,
     H, W = img.shape[0], img.shape[1]
     cols = jnp.arange(W, dtype=jnp.int32)
 
-    sx, sx1, ax0, ax1 = _dyn_linear_tables(w, dst_w)
-    sy, sy1, ay0, ay1 = _dyn_linear_tables(h, dst_h)
+    sx, sx1, ax0, ax1 = _dyn_linear_tables(w, dst_w, int(W))
+    sy, sy1, ay0, ay1 = _dyn_linear_tables(h, dst_h, int(H))
     gx, gx1 = jnp.clip(x0 + sx, 0, W - 1), jnp.clip(x0 + sx1, 0, W - 1)
     gy, gy1 = jnp.clip(y0 + sy, 0, H - 1), jnp.clip(y0 + sy1, 0, H - 1)
 
@@ -188,14 +204,17 @@ def crop_resize_u8_cv2(img: jax.Array, box_xywh: jax.Array,
     # Horizontal pass via one-hot bf16 matmuls with f32 accumulation
     # (single MXU pass, exact: one-hot entries x u8 pixels, one term per
     # output), then the 2^11-scaled row a0*P + a1*Q in exact int32
-    Wp = (cols[None, :] == gx[:, None]).astype(mmt)
-    Wq = (cols[None, :] == gx1[:, None]).astype(mmt)
+    # P and Q stacked into ONE matmul (rows [Wp ; Wq]) so each gathered row
+    # image is read once, not twice — same single-nonzero contractions,
+    # bit-exactness untouched (see the static path's note)
+    Wpq = jnp.concatenate(
+        [(cols[None, :] == gx[:, None]).astype(mmt),
+         (cols[None, :] == gx1[:, None]).astype(mmt)], axis=0)
 
     def hpass(r):
-        P = jnp.einsum("hwc,xw->hxc", r, Wp,
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
-        Q = jnp.einsum("hwc,xw->hxc", r, Wq,
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        PQ = jnp.einsum("hwc,xw->hxc", r, Wpq,
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+        P, Q = PQ[:, :dst_w], PQ[:, dst_w:]
         return ax0[None, :, None] * P + ax1[None, :, None] * Q
 
     h0 = hpass(r0)

@@ -413,9 +413,14 @@ def _make_detect_prep(net, cfg: DetectorConfig, mtcnn_params=None):
         box = d["box_xywh"]
         has_face = d["has_face"] & active
         # BGR frame -> RGB aligned crop (the host aligner's channel order,
-        # pipeline/detector._ResizeAligner)
+        # pipeline/detector._ResizeAligner). The channel flip runs on the
+        # (m, m) CROP, not the full capture frame: crop_resize_u8_cv2
+        # treats channels uniformly so the flip commutes bit-exactly, and
+        # flipping after shrinks the reversed bytes 12x (the full-frame rev
+        # was 685 us/tick = 3.7% of the device tick in the round-5 roofline
+        # trace, tools/roofline_probe.py)
         faces_raw = jax.vmap(
-            lambda f, b: crop_resize_u8_cv2(f[:, :, ::-1], b, m, m)
+            lambda f, b: crop_resize_u8_cv2(f, b, m, m)[:, :, ::-1]
         )(frames_capture_u8, box)
         face_hw = jnp.stack([box[:, 3], box[:, 2]], axis=1)  # (fh, fw)
         if cfg.mtcnn_device:

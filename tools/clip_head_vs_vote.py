@@ -143,6 +143,12 @@ def run_experiment(n_train=48, n_val=32, window=8, size=64, seed=0,
                    burst_k=3, head_epochs=60):
     import jax
     jax.config.update("jax_platforms", "cpu")
+    try:   # same persistent compile cache as tests/conftest.py — the
+        # experiment's wall time is otherwise dominated by B0 compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from real_time_video_deepfake_detection_tpu.models import backbones
