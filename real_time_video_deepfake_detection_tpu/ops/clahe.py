@@ -30,6 +30,11 @@ import jax.numpy as jnp
 # tick, where MXU/VPU port balance decides, not isolated stage time.
 NIBBLE_LOOKUP = True
 
+# Corner-LUT selection dataflow: True = constant-index take along the tile
+# axis, False = one-hot matmul. Bit-identical either way; A/B'd on silicon
+# by tools/roofline_probe.py (round 5).
+CORNER_TAKE = False
+
 
 def _lut_for_tile(hist: np.ndarray, clip_limit: int, tile_area: int) -> np.ndarray:
     """Classic CLAHE LUT: clip, redistribute excess as uniform integer batch
@@ -238,15 +243,20 @@ def clahe_u8_batch(imgs: jax.Array, clip_limit: float = 2.0,
                     cy = min(max(y0 + dy, 0), tiles - 1)
                     cx = min(max(x0 + dx, 0), tiles - 1)
                     C[ty * tiles + tx, qd, c, cy * tiles + cx] = 1.0
-    # corner selection as a STATIC take instead of a one-hot matmul: the
-    # einsum materialized a (B,T2,4,4,256) operand through a slow layout
-    # copy (790 us/tick at 79 GB/s in the round-5 roofline trace,
-    # tools/roofline_probe.py); a constant-index gather along the tile axis
-    # is the same selection (trivially exact) without the matmul or copy
-    sidx = np.argmax(C, axis=-1).astype(np.int32)        # (T2, 4, 4)
-    lut_sel = jnp.take(luts.astype(mmt),
-                       jnp.asarray(sidx.reshape(-1)),
-                       axis=1).reshape(B, T2, 4, 4, 256)
+    # corner selection: either a constant-index take along the tile axis or
+    # a one-hot matmul — identical selection (trivially exact) either way;
+    # a scheduling choice A/B-able on silicon via the module flag (the
+    # einsum materializes the (B,T2,4,4,256) operand through a layout copy,
+    # 790 us/tick in the round-5 roofline trace; the take trades that for
+    # gather + loop-fusion time — tools/roofline_probe.py measures both)
+    if CORNER_TAKE:
+        sidx = np.argmax(C, axis=-1).astype(np.int32)    # (T2, 4, 4)
+        lut_sel = jnp.take(luts.astype(mmt),
+                           jnp.asarray(sidx.reshape(-1)),
+                           axis=1).reshape(B, T2, 4, 4, 256)
+    else:
+        lut_sel = jnp.einsum("bsv,tqcs->btqcv", luts.astype(mmt),
+                             jnp.asarray(C, mmt))         # exact: 8-bit LUTs
     if NIBBLE_LOOKUP:
         lut_hl = lut_sel.reshape(B, T2, 4, 4, 16, 16)
         # lookup via two rank-16 contractions; each has a single nonzero

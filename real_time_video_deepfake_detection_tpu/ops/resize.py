@@ -39,6 +39,12 @@ _COEF_SCALE = 1 << _COEF_BITS  # 2048
 # not isolated stage time — decides).
 U8_MATMUL_HPASS = True
 
+# h-pass P/Q contraction dataflow: True = one matmul with concatenated
+# one-hot columns (image operand read once), False = two separate matmuls.
+# Bit-identical either way (each output column is the same single-nonzero
+# contraction); A/B'd on silicon by tools/roofline_probe.py (round 5).
+HPASS_FUSED_PQ = False
+
 
 @functools.lru_cache(maxsize=None)
 def _linear_tables(src: int, dst: int):
@@ -106,22 +112,36 @@ def resize_bilinear_u8_cv2(img: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
         Wq[sx1, np.arange(dst_w)] = 1.0
         mmt = _mm_dtype()
         imgb = img.astype(mmt)
-        # P and Q in ONE matmul (columns [Wp | Wq]): each output column is
-        # the same single-nonzero contraction as before, so bit-exactness
-        # is untouched, but the image is read once instead of twice — the
-        # capture-resize h-pass was the heaviest resize op in the round-5
-        # roofline trace (tools/roofline_probe.py)
-        PQ = jnp.einsum("hwc,wx->hxc", imgb,
-                        jnp.asarray(np.concatenate([Wp, Wq], 1)).astype(mmt),
-                        preferred_element_type=jnp.float32).astype(jnp.int32)
-        P, Q = PQ[:, :dst_w], PQ[:, dst_w:]
-        h = (jnp.asarray(ax0)[None, :, None] * P
-             + jnp.asarray(ax1)[None, :, None] * Q)
+        # P and Q in ONE matmul (columns [Wp | Wq]) when HPASS_FUSED_PQ:
+        # each output column is the same single-nonzero contraction either
+        # way, so bit-exactness is untouched; fused reads the image once
+        # P/Q hold SELECTED PIXELS (one term per output), so they fit i16;
+        # and the vertical pass only ever consumes h >> 4 <= 32640, so the
+        # row-gathered intermediate fits i16 too. Materializing both at 16
+        # bits halves the resize's HBM traffic (the 300^2/256^2 conform
+        # vertical gathers were the tick's heaviest gather bytes in the
+        # round-5 roofline trace) — bit-exact: (a0*P + a1*Q) >> 4 is the
+        # same integer whether the shift happens before or after the
+        # gather, and every value fits its narrow type exactly.
+        if HPASS_FUSED_PQ:
+            PQ = jnp.einsum(
+                "hwc,wx->hxc", imgb,
+                jnp.asarray(np.concatenate([Wp, Wq], 1)).astype(mmt),
+                preferred_element_type=jnp.float32).astype(jnp.int16)
+            P, Q = PQ[:, :dst_w], PQ[:, dst_w:]
+        else:
+            P = jnp.einsum("hwc,wx->hxc", imgb, jnp.asarray(Wp).astype(mmt),
+                           preferred_element_type=jnp.float32).astype(jnp.int16)
+            Q = jnp.einsum("hwc,wx->hxc", imgb, jnp.asarray(Wq).astype(mmt),
+                           preferred_element_type=jnp.float32).astype(jnp.int16)
+        h16 = ((jnp.asarray(ax0)[None, :, None] * P.astype(jnp.int32)
+                + jnp.asarray(ax1)[None, :, None] * Q.astype(jnp.int32))
+               >> 4).astype(jnp.int16)
         # Vertical pass with OpenCV's exact fixed-point cast (static row
-        # gathers along the major axis are cheap):
+        # gathers along the major axis, now on i16 rows):
         # uchar(((b0*(S0>>4))>>16) + ((b1*(S1>>4))>>16) + 2) >> 2
-        s0 = h[sy, :, :] >> 4
-        s1 = h[sy1, :, :] >> 4
+        s0 = h16[sy, :, :].astype(jnp.int32)
+        s1 = h16[sy1, :, :].astype(jnp.int32)
         b0 = jnp.asarray(ay0)[:, None, None]
         b1 = jnp.asarray(ay1)[:, None, None]
         out = (((b0 * s0) >> 16) + ((b1 * s1) >> 16) + 2) >> 2
@@ -204,46 +224,52 @@ def crop_resize_u8_cv2(img: jax.Array, box_xywh: jax.Array,
     # Horizontal pass via one-hot bf16 matmuls with f32 accumulation
     # (single MXU pass, exact: one-hot entries x u8 pixels, one term per
     # output), then the 2^11-scaled row a0*P + a1*Q in exact int32
-    # P and Q stacked into ONE matmul (rows [Wp ; Wq]) so each gathered row
-    # image is read once, not twice — same single-nonzero contractions,
-    # bit-exactness untouched (see the static path's note)
-    Wpq = jnp.concatenate(
-        [(cols[None, :] == gx[:, None]).astype(mmt),
-         (cols[None, :] == gx1[:, None]).astype(mmt)], axis=0)
+    # P and Q stacked into ONE matmul (rows [Wp ; Wq]) when HPASS_FUSED_PQ
+    # so each gathered row image is read once, not twice — same
+    # single-nonzero contractions, bit-exactness untouched either way
+    Wp_ = (cols[None, :] == gx[:, None]).astype(mmt)
+    Wq_ = (cols[None, :] == gx1[:, None]).astype(mmt)
+    Wpq = jnp.concatenate([Wp_, Wq_], axis=0)
 
-    def hpass(r):
-        PQ = jnp.einsum("hwc,xw->hxc", r, Wpq,
-                        preferred_element_type=jnp.float32).astype(jnp.int32)
-        P, Q = PQ[:, :dst_w], PQ[:, dst_w:]
-        return ax0[None, :, None] * P + ax1[None, :, None] * Q
+    def hpass_pq(r):
+        # P/Q are selected pixels (<= 255) and the vertical pass consumes
+        # only h >> 4 (<= 32640), so both intermediates materialize as i16
+        # — half the HBM bytes, bit-exact (see the static path's note)
+        if HPASS_FUSED_PQ:
+            PQ = jnp.einsum("hwc,xw->hxc", r, Wpq,
+                            preferred_element_type=jnp.float32).astype(jnp.int16)
+            return PQ[:, :dst_w], PQ[:, dst_w:]
+        P = jnp.einsum("hwc,xw->hxc", r, Wp_,
+                       preferred_element_type=jnp.float32).astype(jnp.int16)
+        Q = jnp.einsum("hwc,xw->hxc", r, Wq_,
+                       preferred_element_type=jnp.float32).astype(jnp.int16)
+        return P, Q
 
-    h0 = hpass(r0)
-    h1 = hpass(r1)
+    P0, Q0 = hpass_pq(r0)
+    P1, Q1 = hpass_pq(r1)
+
+    def lin_h(P, Q):
+        return ((ax0[None, :, None] * P.astype(jnp.int32)
+                 + ax1[None, :, None] * Q.astype(jnp.int32)) >> 4)
+
     # vertical combine, OpenCV's exact fixed-point cast (no gather needed:
     # h0/h1 are already the sy/sy1 rows of the horizontally-passed image)
-    lin = ((((ay0[:, None, None] * (h0 >> 4)) >> 16)
-            + ((ay1[:, None, None] * (h1 >> 4)) >> 16) + 2) >> 2)
+    lin = ((((ay0[:, None, None] * lin_h(P0, Q0)) >> 16)
+            + ((ay1[:, None, None] * lin_h(P1, Q1)) >> 16) + 2) >> 2)
     # identity boxes (w==dst_w, h==dst_h) reduce exactly under this
     # arithmetic (a0=2048: ((2048*(p*2048>>4))>>16+2)>>2 == p), so no
     # separate identity path is needed.
 
-    # exact-2x downscale: OpenCV switches to 2x2 area averaging
-    ys2 = 2 * jnp.arange(dst_h, dtype=jnp.int32)
-    xs2 = 2 * jnp.arange(dst_w, dtype=jnp.int32)
-    g2y = jnp.clip(y0 + ys2, 0, H - 1)
-    g2y1 = jnp.clip(y0 + ys2 + 1, 0, H - 1)
-    g2x = jnp.clip(x0 + xs2, 0, W - 1)
-    g2x1 = jnp.clip(x0 + xs2 + 1, 0, W - 1)
-    # (r0/r1 matmul'd separately: u8 values are bf16-exact, their sums may
-    # not be; W2 entries are 1, or 2 where the clamped columns coincide —
-    # both exact, products <= 510 even, f32 accumulation exact)
-    W2 = ((cols[None, :] == g2x[:, None]).astype(mmt)
-          + (cols[None, :] == g2x1[:, None]).astype(mmt))
-    blk = (jnp.einsum("hwc,xw->hxc", img[g2y].astype(mmt), W2,
-                      preferred_element_type=jnp.float32)
-           + jnp.einsum("hwc,xw->hxc", img[g2y1].astype(mmt), W2,
-                        preferred_element_type=jnp.float32)).astype(jnp.int32)
-    area = (blk + 2) >> 2
+    # exact-2x downscale: OpenCV switches to 2x2 area averaging. For
+    # src == 2*dst the general tables already select EXACTLY the four
+    # area-path taps (sy = 2i, sy1 = 2i+1, gx = x0+2j, gx1 = x0+2j+1 —
+    # fx = 0.5 everywhere, no edge clamping for an in-frame box), so the
+    # area mean reuses the SAME P/Q matmul outputs — no second set of row
+    # gathers and one-hot contractions (they were 2 of the tick's 4 crop
+    # gathers in the round-5 roofline trace; the where() evaluates both
+    # branches, so the dead branch's gathers were always paid).
+    area = (P0.astype(jnp.int32) + Q0.astype(jnp.int32)
+            + P1.astype(jnp.int32) + Q1.astype(jnp.int32) + 2) >> 2
 
     is_2x = (h == 2 * dst_h) & (w == 2 * dst_w)
     out = jnp.where(is_2x, area, lin)
