@@ -454,8 +454,17 @@ def bench_core_detect(n_streams=64, window=8, n_windows=10, warm_windows=2,
 def _bf16_peak_tflops() -> float:
     """Per-chip bf16 peak TFLOP/s for the attached device, from public
     specs, so the %-of-peak headline is correct on any TPU generation (it
-    was hardcoded to the v5e's 197). -1 for unknown kinds (MFU omitted)."""
-    kind = jax.devices()[0].device_kind.lower()
+    was hardcoded to the v5e's 197). -1 for unknown kinds (MFU omitted).
+
+    Never raises: an MFU annotation must not be able to kill the detect
+    headline (a missing function-local jax import here did exactly that
+    once — the module deliberately has no top-level jax import so bench
+    helpers stay importable before platform selection)."""
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return -1.0
     table = {
         "v5 lite": 197.0, "v5litepod": 197.0, "v5e": 197.0,
         "v5p": 459.0, "v5": 459.0,

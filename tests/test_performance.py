@@ -166,3 +166,27 @@ def test_detect_tick_latency_mode_meets_target(params):
     p95 = float(np.percentile(lat, 95) * 1000)
     budget = 60.0 if os.environ.get("TPU_BEHIND_TUNNEL") == "1" else 20.0
     assert p95 < budget, f"p95 {p95:.1f} ms (budget {budget:.0f} ms)"
+
+
+def test_bf16_peak_lookup_never_raises():
+    """The MFU %-of-peak annotation must not be able to kill the bench's
+    detect headline: a missing function-local jax import in
+    _bf16_peak_tflops once NameError'd the whole detect phase on real
+    hardware (cli/bench.py has no top-level jax import by design). Pin
+    that it returns a float on ANY backend and that known kinds map."""
+    from real_time_video_deepfake_detection_tpu.cli import bench
+
+    v = bench._bf16_peak_tflops()
+    assert isinstance(v, float)          # CPU backend -> -1.0 (unknown kind)
+
+    class _FakeDev:
+        device_kind = "TPU v5 lite"
+
+    real_devices = jax.devices
+    try:
+        jax.devices = lambda *a, **k: [_FakeDev()]
+        assert bench._bf16_peak_tflops() == 197.0
+        _FakeDev.device_kind = "weird accelerator"
+        assert bench._bf16_peak_tflops() == -1.0
+    finally:
+        jax.devices = real_devices
